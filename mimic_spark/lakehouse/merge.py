@@ -1,0 +1,261 @@
+"""Copy-on-write MERGE INTO for SnapshotTable (the Iceberg-MERGE role).
+
+Semantics (equivalent to):
+
+    MERGE INTO target t USING source s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+    WHEN MATCHED AND s.op = 'delete' AND s.lsn >= t._lsn THEN DELETE
+    WHEN MATCHED AND s.lsn >= t._lsn                     THEN UPDATE SET *
+    WHEN NOT MATCHED AND s.op <> 'delete'                THEN INSERT *
+
+plus two things Iceberg MERGE leaves to the user, baked in here because CDC
+replay correctness needs them:
+
+- **LSN monotonicity guard** (``s.lsn >= t._lsn``): a replayed/late event can
+  never regress a newer row — replay from any checkpoint reconverges.
+- **Delete tombstones**: deleted keys keep a ``_deleted=true`` row carrying
+  the delete's LSN, so a late update with a smaller LSN cannot resurrect the
+  row.  Readers filter tombstones; compaction can GC them once the watermark
+  passes (maintenance, like Iceberg MoR compaction).
+
+Execution shape (scale posture):
+- Source must already be deduped to one event per key (apply layer does the
+  ``row_number() over (partition by key order by lsn desc)`` pass —
+  reference pattern W1, etl/etl/lk_meas_labevents.sql:142-145).
+- Only buckets touched by the source are read and rewritten (bucket-pruned
+  COW).  Buckets hash the full (conv_id, turn_idx) key, so hot conversations
+  spread uniformly — no skewed shuffle partition in the join.
+- Per-merge metrics ride a ``DataFrame.observe`` — collected during the write
+  action itself, zero extra scan.
+- Commit is atomic and carries ``last_batch_id``/``lsn_hi`` markers — the
+  exactly-once ledger (reference: ingest fingerprint registry,
+  scripts/ingest_mimic_csv_to_duckdb.py:286-332).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mimic_spark.lakehouse.table import (
+    CommitConflict,
+    SnapshotTable,
+    evolve_schema,
+)
+
+INTERNAL_COLS = ("_lsn", "_deleted")
+
+
+@dataclass
+class MergeResult:
+    skipped: bool = False
+    version: int | None = None
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    conflicts: int = 0  # op='insert' arriving for an already-live key
+    stale: int = 0  # events ignored by the LSN guard
+    rows_written: int = 0
+    lsn_lo: int | None = None
+    lsn_hi: int | None = None
+    affected_buckets: list[int] = field(default_factory=list)
+
+
+def _internal_fields() -> list[T.StructField]:
+    return [
+        T.StructField("_lsn", T.LongType(), True),
+        T.StructField("_deleted", T.BooleanType(), True),
+    ]
+
+
+def ensure_internal_schema(schema: T.StructType) -> T.StructType:
+    names = {f.name for f in schema.fields}
+    fields = list(schema.fields) + [
+        f for f in _internal_fields() if f.name not in names
+    ]
+    return T.StructType(fields)
+
+
+def merge_into(
+    table: SnapshotTable,
+    source: DataFrame,
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "delete",
+    insert_op: str = "insert",
+    batch_id: int | None = None,
+    extra_props: dict[str, Any] | None = None,
+    max_retries: int = 2,
+) -> MergeResult:
+    """Apply one deduped change-batch to the table. Idempotent per batch_id."""
+    for attempt in range(max_retries + 1):
+        base = table.snapshot()
+        last = base.props.get("last_batch_id")
+        if batch_id is not None and last is not None and batch_id <= int(last):
+            return MergeResult(skipped=True, version=base.version)
+        try:
+            return _merge_once(
+                table, source, base, lsn_col, op_col, delete_op, insert_op,
+                batch_id, extra_props,
+            )
+        except CommitConflict:
+            if attempt == max_retries:
+                raise
+            # another writer (or a retried task) won the version race —
+            # reload and re-check the batch marker; replays become no-ops.
+    raise AssertionError("unreachable")
+
+
+def _merge_once(
+    table: SnapshotTable,
+    source: DataFrame,
+    base,
+    lsn_col: str,
+    op_col: str,
+    delete_op: str,
+    insert_op: str,
+    batch_id: int | None,
+    extra_props: dict[str, Any] | None,
+) -> MergeResult:
+    keys = table.key_cols
+    payload_cols = [
+        c for c in source.columns if c not in (*keys, lsn_col, op_col)
+    ]
+    incoming = T.StructType(
+        [f for f in source.schema.fields if f.name in (*keys, *payload_cols)]
+    )
+    new_schema = ensure_internal_schema(evolve_schema(base.schema, incoming))
+
+    affected = [
+        r[0]
+        for r in source.select(table.bucket_col().alias("_b")).distinct().collect()
+    ]
+    affected.sort()
+
+    if not affected:
+        # empty batch: no data files change, but the batch marker must still
+        # advance atomically so a replay of this batch_id skips.
+        props: dict[str, Any] = dict(extra_props or {})
+        if batch_id is not None:
+            props["last_batch_id"] = batch_id
+        snap = table.commit(
+            base=base, op="merge-empty", files=base.files, props_update=props
+        )
+        return MergeResult(skipped=False, version=snap.version)
+
+    tgt = table.read(version=base.version, buckets=affected)
+    # align target to the evolved schema (adds new columns as NULL)
+    tgt = table._align(tgt, new_schema)
+
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    t = tgt.withColumn("_t_present", F.lit(True)).alias("t")
+    j = t.join(s, on=keys, how="full_outer")
+
+    s_lsn = F.col(lsn_col)
+    t_lsn = F.col("_lsn")
+    t_deleted = F.coalesce(F.col("_deleted"), F.lit(False))
+    is_del = F.col(op_col) == F.lit(delete_op)
+    fresh = t_lsn.isNull() | (s_lsn >= t_lsn)
+
+    action = (
+        F.when(F.col("_s_present").isNull(), F.lit("keep"))
+        .when(is_del & fresh, F.lit("delete"))
+        .when(is_del, F.lit("stale"))
+        .when(F.col("_t_present").isNull(), F.lit("insert"))
+        .when(fresh & t_deleted, F.lit("insert"))  # re-insert over tombstone
+        .when(fresh, F.lit("update"))
+        .otherwise(F.lit("stale"))
+    )
+    take_src = action.isin("insert", "update", "delete")
+
+    out_cols = []
+    for f in new_schema.fields:
+        if f.name in keys:
+            out_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.name == "_lsn":
+            out_cols.append(
+                F.when(take_src, s_lsn).otherwise(t_lsn).cast("long").alias("_lsn")
+            )
+        elif f.name == "_deleted":
+            out_cols.append(
+                F.when(action == "delete", F.lit(True))
+                .when(take_src, F.lit(False))
+                .otherwise(F.coalesce(F.col("_deleted"), F.lit(False)))
+                .alias("_deleted")
+            )
+        elif f.name in payload_cols:
+            out_cols.append(
+                F.when(action == "delete", F.lit(None).cast(f.dataType))
+                .when(take_src, F.col(f"s.{f.name}").cast(f.dataType))
+                .otherwise(F.col(f"t.{f.name}").cast(f.dataType))
+                .alias(f.name)
+            )
+        else:  # target-only column: source never carries it
+            out_cols.append(
+                F.when(action == "delete", F.lit(None).cast(f.dataType))
+                .otherwise(F.col(f"t.{f.name}").cast(f.dataType))
+                .alias(f.name)
+            )
+
+    was_live = F.col("_t_present").isNotNull() & ~F.coalesce(
+        F.col("_deleted"), F.lit(False)
+    )
+    obs = Observation(f"merge-{base.version + 1}")
+    merged = j.select(*out_cols, action.alias("_action"),
+                      (  # conflict: an 'insert' op landing on a live row
+                          (F.col(op_col) == F.lit(insert_op)) & was_live
+                      ).alias("_conflict"),
+                      s_lsn.alias("_src_lsn"))
+    merged = merged.observe(
+        obs,
+        F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("inserts"),
+        F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("updates"),
+        F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("deletes"),
+        F.sum(F.when(F.col("_action") == "stale", 1).otherwise(0)).alias("stale"),
+        F.sum(F.when(F.col("_conflict"), 1).otherwise(0)).alias("conflicts"),
+        F.min("_src_lsn").alias("lsn_lo"),
+        F.max("_src_lsn").alias("lsn_hi"),
+        F.count(F.lit(1)).alias("rows_written"),
+    )
+    merged = merged.drop("_action", "_conflict", "_src_lsn")
+
+    new_files = table.write_data_files(merged, base.version + 1)
+    sid = (
+        base.schema_id if new_schema == base.schema else max(base.schemas) + 1
+    )
+    for fe in new_files:
+        fe["schema_id"] = sid
+
+    kept = [f for f in base.files if f["bucket"] not in set(affected)]
+    m = obs.get
+    props: dict[str, Any] = dict(extra_props or {})
+    if batch_id is not None:
+        props["last_batch_id"] = batch_id
+    if m.get("lsn_hi") is not None:
+        prev_hi = base.props.get("lsn_hi")
+        props["lsn_hi"] = max(int(m["lsn_hi"]), int(prev_hi)) if prev_hi is not None else int(m["lsn_hi"])
+    snap = table.commit(
+        base=base,
+        op="merge",
+        files=kept + new_files,
+        schema=new_schema,
+        props_update=props,
+    )
+    return MergeResult(
+        skipped=False,
+        version=snap.version,
+        inserts=int(m["inserts"] or 0),
+        updates=int(m["updates"] or 0),
+        deletes=int(m["deletes"] or 0),
+        conflicts=int(m["conflicts"] or 0),
+        stale=int(m["stale"] or 0),
+        rows_written=int(m["rows_written"] or 0),
+        lsn_lo=None if m["lsn_lo"] is None else int(m["lsn_lo"]),
+        lsn_hi=None if m["lsn_hi"] is None else int(m["lsn_hi"]),
+        affected_buckets=affected,
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Single place where engine-level Spark config lives so tests, bench and the
+driver entry point all run with the same semantics.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing + skew-join splitting are the first line of
+  defense against skewed conversations (SURVEY.md §4 "skew handling").
+- shuffle.partitions defaults to ~cores in local mode; on a real cluster this
+  is overridden per-job (AQE coalesces down anyway).
+- ANSI off: the engine mirrors the reference's TRY_CAST-tolerant load path
+  (reference: scripts/ingest_mimic_csv_to_duckdb.py:553-573) and the DuckDB
+  oracle comparisons assume permissive cast-to-NULL semantics.
+- Session timezone pinned to UTC: reference timestamps are tz-naive
+  (SURVEY.md §1.2); DuckDB oracle comparisons require it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    parallelism: int | None = None,
+    app_name: str = "mimic_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    parallelism: N for ``local[N]``; defaults to $SPARK_GRAFT_CPUS or '*'.
+    """
+    if parallelism is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        cores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{parallelism}]"
+        cores = parallelism
+
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, cores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("MIMIC_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # parquet: keep filter pushdown + column pruning observable in plans
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

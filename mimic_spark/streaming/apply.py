@@ -1,0 +1,247 @@
+"""CDC apply path: per-micro-batch dedup -> normalize -> MERGE -> lineage.
+
+This is the engine's heart — the role the reference's per-stage SQL loads play
+(CREATE OR REPLACE TABLE / INSERT INTO per rule, orchestrated by
+scripts/run_workflow.py:88-110), generalized to streaming upserts:
+
+  batch df ──dedup (W1 window over LSN)──► one event per key
+           ──normalize (Arrow pandas UDF)──► canonical text
+           ──MERGE INTO (bucket-pruned COW)──► transcripts table
+           ──ledger + per-partition lineage──► _tcdc_commits / _tcdc_metrics
+
+Exactly-once: the transcripts commit itself carries (batch_id, lsn_hi)
+atomically; ledger/metrics tables are written *after* the data commit and are
+therefore replay-reconstructible — a crash between data-commit and
+ledger-append is healed on replay (the merge skips, the ledger row is
+backfilled).  Writes are ordered data-first exactly like the reference records
+``ingest.file_loads`` only after a table load succeeds
+(scripts/ingest_mimic_csv_to_duckdb.py:252-283).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mimic_spark.functions.normalize import normalize_text_udf
+from mimic_spark.lakehouse.merge import MergeResult, ensure_internal_schema, merge_into
+from mimic_spark.lakehouse.table import SnapshotTable
+
+KEYS = ["conv_id", "turn_idx"]
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        # NOTE: no `tool` column at creation — it arrives via schema evolution
+    ]
+)
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("lsn_lo", T.LongType(), True),
+        T.StructField("lsn_hi", T.LongType(), True),
+        T.StructField("rows_applied", T.LongType(), True),
+        T.StructField("recovered", T.BooleanType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),  # = bucket
+        T.StructField("lsn_lo", T.LongType(), True),
+        T.StructField("lsn_hi", T.LongType(), True),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("rows_deduped", T.LongType(), True),
+        T.StructField("inserts", T.LongType(), True),
+        T.StructField("updates", T.LongType(), True),
+        T.StructField("deletes", T.LongType(), True),
+        T.StructField("run_id", T.StringType(), True),
+    ]
+)
+
+
+def dedup_batch(
+    df: DataFrame, keys: list[str] = KEYS, lsn_col: str = "lsn", op_col: str = "op"
+) -> DataFrame:
+    """Last-writer-wins per key within a batch (reference pattern W1:
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) = 1``,
+    etl/etl/lk_meas_labevents.sql:142-145).
+
+    Order: LSN desc, then op desc ('update' > 'insert' > 'delete') as a pure
+    deterministic tiebreak for duplicate deliveries (which are identical rows,
+    so the tiebreak never changes data — it only pins the plan's output).
+    The window key is the *full* (conv_id, turn_idx) pair: hot conversations
+    fan out across many turns, so the window shuffle itself is skew-free.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(lsn_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+class TranscriptCdc:
+    """The configured CDC pipeline over one transcripts table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        n_buckets: int = 32,
+        run_id: str | None = None,
+        normalize_col: str = "text",
+    ):
+        self.spark = spark
+        self.table_path = table_path.rstrip("/")
+        self.n_buckets = n_buckets
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.normalize_col = normalize_col
+        self._open_tables()
+
+    def _open_tables(self) -> None:
+        sp, p = self.spark, self.table_path
+        if not SnapshotTable.exists(p):
+            SnapshotTable.create(
+                sp, p, ensure_internal_schema(TRANSCRIPT_SCHEMA), KEYS, self.n_buckets
+            )
+        self.table = SnapshotTable(sp, p)
+        lp, mp = p + "_commits", p + "_metrics"
+        if not SnapshotTable.exists(lp):
+            SnapshotTable.create(sp, lp, LEDGER_SCHEMA, ["batch_id"], 1)
+        if not SnapshotTable.exists(mp):
+            SnapshotTable.create(sp, mp, METRICS_SCHEMA, ["batch_id", "partition_id"], 1)
+        self.ledger = SnapshotTable(sp, lp)
+        self.metrics = SnapshotTable(sp, mp)
+
+    # ------------------------------------------------------------- pipeline
+
+    def prepare(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(deduped+normalized source, per-bucket lineage pre-agg)."""
+        drop = [c for c in ("batch_hint",) if c in batch.columns]
+        src = batch.drop(*drop) if drop else batch
+        deduped = dedup_batch(src)
+        if self.normalize_col in deduped.columns:
+            deduped = deduped.withColumn(
+                self.normalize_col, normalize_text_udf(F.col(self.normalize_col))
+            )
+        lineage = (
+            src.withColumn("_bucket", self.table.bucket_col())
+            .groupBy("_bucket")
+            .agg(
+                F.min("lsn").alias("lsn_lo"),
+                F.max("lsn").alias("lsn_hi"),
+                F.count(F.lit(1)).alias("rows_in"),
+                F.count_distinct(*[F.col(k) for k in KEYS]).alias("rows_deduped"),
+                F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("inserts"),
+                F.sum(F.when(F.col("op") == "update", 1).otherwise(0)).alias("updates"),
+                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+            )
+        )
+        return deduped, lineage
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> MergeResult:
+        """foreachBatch body. Idempotent per batch_id."""
+        deduped, lineage = self.prepare(batch)
+        result = merge_into(self.table, deduped, batch_id=batch_id)
+        self._record(batch_id, result, lineage)
+        return result
+
+    def _record(self, batch_id: int, result: MergeResult, lineage: DataFrame) -> None:
+        have = (
+            self.ledger.read().filter(F.col("batch_id") == batch_id).limit(1).count()
+            > 0
+        )
+        if have:
+            return
+        if result.skipped:
+            # crash happened between data-commit and ledger-append on a prior
+            # attempt: backfill a recovery marker from the table props
+            props = self.table.props()
+            row = [
+                (
+                    int(batch_id),
+                    None,
+                    int(props["lsn_hi"]) if "lsn_hi" in props else None,
+                    None,
+                    True,
+                    None,
+                )
+            ]
+        else:
+            row = [
+                (
+                    int(batch_id),
+                    result.lsn_lo,
+                    result.lsn_hi,
+                    int(result.inserts + result.updates + result.deletes),
+                    False,
+                    None,
+                )
+            ]
+        ldf = self.spark.createDataFrame(row, LEDGER_SCHEMA).withColumn(
+            "committed_at", F.current_timestamp()
+        )
+        self.ledger.append(ldf)
+        if not result.skipped:
+            mdf = lineage.select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                F.col("_bucket").cast("int").alias("partition_id"),
+                F.col("lsn_lo").cast("long"),
+                F.col("lsn_hi").cast("long"),
+                F.col("rows_in").cast("long"),
+                F.col("rows_deduped").cast("long"),
+                F.col("inserts").cast("long"),
+                F.col("updates").cast("long"),
+                F.col("deletes").cast("long"),
+                F.lit(self.run_id).alias("run_id"),
+            )
+            self.metrics.append(mdf)
+
+    # --------------------------------------------------------------- reads
+
+    def read_published(self) -> DataFrame:
+        """Live rows, internal/lineage columns stripped — the reference's
+        publish step (SELECT * EXCLUDE(load_table_id,...),
+        etl/publish/publish_omop.sql:19-21)."""
+        df = self.table.read()
+        return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
+            "_lsn", "_deleted"
+        )
+
+    def high_watermark(self) -> int | None:
+        props = self.table.props()
+        return int(props["lsn_hi"]) if "lsn_hi" in props else None
+
+
+def run_batched(
+    spark: SparkSession,
+    cdc: TranscriptCdc,
+    chunk_paths: list[str],
+    schema: T.StructType | None = None,
+) -> list[MergeResult]:
+    """Batch-replay mode: apply pre-materialized chunks in delivery order.
+
+    Used by tests and the replay oracle; the streaming mode in cdc.py drives
+    the same apply_batch through foreachBatch.
+    """
+    results = []
+    for i, p in enumerate(chunk_paths):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        results.append(cdc.apply_batch(reader.parquet(p), i))
+    return results
