@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry      — flagship CDC run at sf0.001 scale (smoke check).
+queries    — one entry per implemented operator from SURVEY.md §2 / the
+             training-data op set; see mimic_spark/operators/*.
+oracle_sql — DuckDB-runnable ANSI SQL twins for every SQL-expressible op.
 """
 
 from __future__ import annotations
@@ -15,24 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC pipeline (changelog -> dedup -> exactly-once MERGE
+    -> published transcripts), deterministic synthetic input."""
+    from mimic_spark.operators.cdc_flagship import run_cdc_flagship
+    from mimic_spark.sources.changelog import ChangelogSpec
+
+    return run_cdc_flagship(
+        spark, ChangelogSpec(n_events=4000, n_convs=100, n_chunks=4)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mimic_spark.operators import OPS
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: op.fn for name, op in OPS.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mimic_spark.operators import OPS
+
+    return {name: op.oracle for name, op in OPS.items() if op.oracle is not None}

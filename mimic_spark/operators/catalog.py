@@ -1,0 +1,47 @@
+"""Operator registry: every implemented operator family from SURVEY.md §2.
+
+Each entry pairs a Spark DataFrame implementation with (where SQL-expressible)
+an ANSI-SQL oracle that DuckDB runs on the same parquet — the driver's
+correctness gate.  Conventions that make the value-hash comparison stable:
+
+- every computed column is aliased identically in Spark and SQL;
+- money sums use the "cents" pattern: round(x*100) summed as BIGINT —
+  exact, order-independent, identical in both engines (double sums are
+  order-dependent across partitions);
+- ratios/averages derived from those integer sums with the same double
+  division in both engines, rounded;
+- top-k queries carry a unique tiebreaker so ties can't reorder results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryOp:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    family: str  # SURVEY.md §2 row(s) this covers
+    doc: str
+
+
+OPS: dict[str, QueryOp] = {}
+
+
+def register(name: str, family: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        OPS[name] = QueryOp(name=name, fn=fn, oracle=oracle, family=family, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/{n}.parquet") for n in names
+    ]

@@ -1,0 +1,50 @@
+"""Flagship query: the CDC engine end-to-end as a catalog entry.
+
+Generates a deterministic changelog, applies it through the full pipeline
+(dedup -> normalize -> MERGE with exactly-once markers) into a fresh
+snapshot table, and returns the published transcripts.  Not SQL-expressible
+(stateful multi-commit engine) => rows-only driver check; the strong
+correctness check is tests/test_cdc_e2e.py's replay-oracle equality.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mimic_spark.operators.catalog import register
+from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
+from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+
+FLAGSHIP_SPEC = ChangelogSpec(n_events=8000, n_convs=160, n_chunks=6)
+
+
+def run_cdc_flagship(
+    spark: SparkSession,
+    spec: ChangelogSpec = FLAGSHIP_SPEC,
+    workdir: str | None = None,
+) -> DataFrame:
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix="mimic_spark_flagship_")
+    else:
+        shutil.rmtree(workdir, ignore_errors=True)
+        os.makedirs(workdir, exist_ok=True)
+    chunks = write_changelog_chunks(spark, spec, os.path.join(workdir, "changelog"))
+    cdc = TranscriptCdc(spark, os.path.join(workdir, "transcripts"))
+    run_batched(spark, cdc, chunks)
+    return cdc.read_published().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+@register(
+    "cdc_transcripts_final",
+    family="north_star: changelog tail -> dedup -> exactly-once MERGE -> published transcripts",
+    oracle=None,  # stateful engine; equality vs sequential-replay oracle is
+    # asserted in tests/test_cdc_e2e.py::test_cdc_e2e_matches_replay_oracle
+)
+def cdc_transcripts_final(spark: SparkSession, sf: str) -> DataFrame:
+    return run_cdc_flagship(spark)

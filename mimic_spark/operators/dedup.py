@@ -1,0 +1,287 @@
+"""Deduplication operator family over `documents` (training-data pipeline ops).
+
+Four strategies, each a `queries()` entry:
+- exact (normalized-key hash groupBy)            — SQL-oracled
+- n-gram Jaccard pairs (shingle self-join)       — SQL-oracled
+- MinHash + LSH candidate pairs + verification   — rows-only (engine hash),
+  verified in pytest as (a) a subset of the exact-Jaccard pairs and (b)
+  deterministic across runs
+- SimHash near-dup pairs                         — rows-only, pytest twin
+
+Scale posture: the shingle self-join is the canonical big-data near-dup plan
+(explode -> shuffle on shingle -> pair-count) and is what MinHash/LSH then
+*approximates* with banding to avoid the quadratic candidate blow-up; both are
+implemented so the LSH path can be validated against the exact one at small SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_spark.operators.catalog import load_tables, register
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_N = 3
+
+
+def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> distinct word-3-gram shingles (JVM-side higher-order fns)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (SHINGLE_N - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_N)),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+@register(
+    "dedup_exact",
+    family="training-data: exact dedup via normalized-key groupBy (ref A2/S6 idempotent identity)",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         lower(concat_ws(' ',
+           regexp_split_to_array(trim(text), '\\s+')[1],
+           regexp_split_to_array(trim(text), '\\s+')[2],
+           regexp_split_to_array(trim(text), '\\s+')[3])) AS dedup_key
+  FROM documents
+)
+SELECT doc_id, dedup_key,
+       min(doc_id) OVER (PARTITION BY dedup_key) AS canonical_id,
+       (doc_id <> min(doc_id) OVER (PARTITION BY dedup_key)) AS is_dup
+FROM keyed
+""",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on a normalized key (first 3 words, lowercased): every doc
+    maps to the group's canonical (min) doc_id — the reference's
+    deterministic-identity dedup (W1/S6) applied to documents."""
+    from pyspark.sql import Window as W
+
+    (d,) = load_tables(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    key = F.lower(F.concat_ws(" ", F.slice(words, 1, 3)))
+    keyed = d.select("doc_id", key.alias("dedup_key"))
+    w = W.partitionBy("dedup_key")
+    return keyed.select(
+        "doc_id",
+        "dedup_key",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    family="training-data: near-dup pairs by word-3-gram Jaccard >= 0.5 (exact shingle self-join)",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - {SHINGLE_N - 1}, 0)),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+    FROM words)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    (d,) = load_tables(spark, sf, "documents")
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+@register(
+    "dedup_minhash_lsh",
+    family="training-data: MinHash+LSH near-dup (shingle->minhash->band->bucket-join->verify)",
+    oracle=None,  # minhash uses xxhash64 (engine-specific); pytest asserts
+    # candidates verify to a subset of dedup_ngram_jaccard's exact pairs
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalable near-dup: 16 minhashes -> 4 LSH bands -> bucket self-join for
+    candidates -> exact Jaccard verification of candidates only.
+
+    At 100 TB the shingle self-join in dedup_ngram_jaccard is quadratic in
+    hot shingles; this plan shuffles only (doc, band-signature) rows and
+    verifies a near-linear candidate set."""
+    (d,) = load_tables(spark, sf, "documents")
+    sh = _shingles(d)
+
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # verify candidates with exact Jaccard (candidate set is small)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pair_sh = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")),
+        "doc_b",
+    )
+    common = pair_sh.filter(F.col("sh_a") == F.col("sh_b")).groupBy(
+        "doc_a", "doc_b"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    family="training-data: SimHash 64-bit signatures + hamming<=3 near-dup pairs",
+    oracle=None,  # xxhash64-based; determinism + symmetry asserted in pytest
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash: per-word 64-bit hash; signature bit b = majority vote of word
+    hash bits.  Bit votes via JVM higher-order functions over the word array;
+    pair generation prunes on equal 16-bit sub-bands (hamming<=3 implies at
+    least one of 4 sub-bands equal — pigeonhole), then exact popcount filter.
+    """
+    (d,) = load_tables(spark, sf, "documents")
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # bit b vote: sum over words of (hash>>b)&1, majority => bit set
+    nw = F.size(words)
+    bits = [
+        (
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + h.bitwiseAND(F.lit(1).cast("long")) if b == 0
+                else acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("long")),
+            )
+            * 2
+            > nw.cast("long")
+        ).cast("long")
+        for b in range(64)
+    ]
+    sig = bits[0]
+    for b in range(1, 64):
+        sig = sig + F.shiftleft(bits[b], b)
+    sigs = d.select("doc_id", sig.alias("simhash"))
+
+    # band on 16-bit chunks for candidate pruning
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

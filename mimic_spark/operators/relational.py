@@ -1,0 +1,531 @@
+"""Core relational operator inventory (SURVEY.md §2.1-§2.4, §2.7-§2.8).
+
+Each query is the Spark-first re-expression of a reference pattern; the
+reference file:line it mirrors is cited in the docstring/`family`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_spark.operators.catalog import load_tables, register
+
+
+def _cents(col: str) -> F.Column:
+    """Exact money aggregation: cents as BIGINT (order-independent sums)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --------------------------------------------------------------------- A1/P1
+
+
+@register(
+    "q1_pricing_summary",
+    family="A1 group-agg (ref etl/etl/lk_vis_part_2.sql:115-137), P1-P4 filters",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(cast(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+       sum(cast(round(l_extendedprice * 100) AS BIGINT)
+           * cast(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash agg."""
+    (li,) = load_tables(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_c"),
+            F.sum(
+                _cents("l_extendedprice")
+                * F.round((1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("sum_disc_cc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------- P1
+
+
+@register(
+    "proj_rename_string_funcs",
+    family="P1 projection+rename (ref st_hosp_base.sql:20-35); §2.8 string funcs",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS name_u,
+       concat(trim(c_mktsegment), '#', cast(c_nationkey AS VARCHAR)) AS seg_key,
+       substring(c_name, 1, 8) AS name_prefix
+FROM customer
+""",
+)
+def proj_rename_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    (c,) = load_tables(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_u"),
+        F.concat(
+            F.trim(F.col("c_mktsegment")),
+            F.lit("#"),
+            F.col("c_nationkey").cast("string"),
+        ).alias("seg_key"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+# ------------------------------------------------------------------- P2-P7
+
+
+@register(
+    "filter_case_cascade",
+    family="P2-P7: predicates, BETWEEN, IN, LIKE, CASE cascade (ref cdm_person.sql:129-133)",
+    oracle="""
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+            WHEN o_orderpriority LIKE '3%' THEN 'warm'
+            ELSE 'cold' END AS prio_class,
+       count(*) AS n,
+       sum(cast(round(o_totalprice * 100) AS BIGINT)) AS total_c
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+  AND o_orderstatus <> 'P'
+GROUP BY 1
+""",
+)
+def filter_case_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    (o,) = load_tables(spark, sf, "orders")
+    prio = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("hot"))
+        .when(F.col("o_orderpriority").like("3%"), F.lit("warm"))
+        .otherwise(F.lit("cold"))
+    )
+    return (
+        o.filter(
+            F.col("o_orderdate").between("1996-01-01", "1998-12-31")
+            & (F.col("o_orderstatus") != "P")
+        )
+        .groupBy(prio.alias("prio_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("o_totalprice")).alias("total_c"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- J1/J9
+
+
+@register(
+    "join_broadcast_star",
+    family="J1 fact-dim equi join + J9 multi-way star (ref cdm_visit_occurrence.sql:100-116); broadcast dims",
+    oracle="""
+SELECT n.n_name AS nation, r.r_name AS region,
+       count(*) AS n_cust,
+       sum(cast(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_c
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def join_broadcast_star(spark: SparkSession, sf: str) -> DataFrame:
+    c, n, r = load_tables(spark, sf, "customer", "nation", "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(_cents("c_acctbal")).alias("acctbal_c"),
+        )
+    )
+
+
+@register(
+    "join_left_chain",
+    family="J2 left-join mapping chain with join-side predicates (ref lk_meas_labevents.sql:114-130)",
+    oracle="""
+SELECT coalesce(n.n_name, 'UNMAPPED') AS nation, count(*) AS n_orders
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+)
+def join_left_chain(spark: SparkSession, sf: str) -> DataFrame:
+    o, c, n = load_tables(spark, sf, "orders", "customer", "nation")
+    return (
+        o.join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_acctbal > 0),
+            "left",
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.coalesce(F.col("n_name"), F.lit("UNMAPPED")).alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ------------------------------------------------------------------- J4
+
+
+@register(
+    "join_disjunctive_split",
+    family="J4 disjunctive join condition, split into two equi-joins + union (ref lk_vis_part_2.sql:389-395)",
+    oracle="""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS uid,
+         cast(event_id % 25 AS INTEGER) AS fallback_key
+  FROM events
+)
+SELECT coalesce(n.n_name, 'NONE') AS match_name, count(*) AS n
+FROM ev
+LEFT JOIN nation n
+  ON (ev.uid IS NOT NULL AND ev.uid = n.n_nationkey)
+  OR (ev.uid IS NULL AND ev.fallback_key = n.n_nationkey)
+GROUP BY 1
+""",
+)
+def join_disjunctive_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive LEFT JOIN = two equi-joins unioned — the scale-safe plan
+    (a single OR-join degenerates to broadcast-nested-loop)."""
+    e, n = load_tables(spark, sf, "events", "nation")
+    ev = e.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        (F.col("event_id") % 25).cast("int").alias("fallback_key"),
+    )
+    with_uid = ev.filter(F.col("uid").isNotNull()).join(
+        F.broadcast(n), F.col("uid") == F.col("n_nationkey"), "left"
+    )
+    without = ev.filter(F.col("uid").isNull()).join(
+        F.broadcast(n), F.col("fallback_key") == F.col("n_nationkey"), "left"
+    )
+    both = with_uid.select("event_id", "n_name").unionByName(
+        without.select("event_id", "n_name")
+    )
+    return both.groupBy(
+        F.coalesce(F.col("n_name"), F.lit("NONE")).alias("match_name")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------------------------------- J7
+
+
+@register(
+    "join_on_expression",
+    family="J7 join on normalized expression (ref lk_cond_diagnoses.sql:98: REPLACE(code,'.',''))",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT replace(upper(p_type), ' ', '') AS type_norm FROM part
+)
+SELECT d.type_norm AS type_norm, count(*) AS n_parts
+FROM part p
+JOIN dim d ON replace(upper(p.p_type), ' ', '') = d.type_norm
+GROUP BY 1
+""",
+)
+def join_on_expression(spark: SparkSession, sf: str) -> DataFrame:
+    (p,) = load_tables(spark, sf, "part")
+    norm = F.regexp_replace(F.upper(F.col("p_type")), " ", "")
+    dim = p.select(norm.alias("type_norm")).distinct()
+    return (
+        p.withColumn("type_norm_p", norm)
+        .join(F.broadcast(dim), F.col("type_norm_p") == dim.type_norm)
+        .groupBy("type_norm")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------- J6/P8/J10
+
+
+@register(
+    "anti_join_dup_removal",
+    family="J6 dup-list self-join + P8 anti-join filter (ref lk_vis_part_1.sql:89-127)",
+    oracle="""
+WITH dups AS (
+  SELECT user_id, event_type, cast(ts AS DATE) AS d
+  FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1
+)
+SELECT e.event_type AS event_type, count(*) AS n_unique_events
+FROM events e
+LEFT JOIN dups d
+  ON e.user_id = d.user_id AND e.event_type = d.event_type
+  AND cast(e.ts AS DATE) = d.d
+WHERE d.user_id IS NULL
+GROUP BY 1
+""",
+)
+def anti_join_dup_removal(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    keyed = e.withColumn("d", F.to_date("ts"))
+    dups = (
+        keyed.groupBy("user_id", "event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter("cnt > 1")
+        .drop("cnt")
+    )
+    return (
+        keyed.join(dups, ["user_id", "event_type", "d"], "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+
+
+@register(
+    "semi_join_exists",
+    family="left-semi (EXISTS) — §2.3 table note; J10 FK-style membership",
+    oracle="""
+SELECT o.o_orderstatus AS o_orderstatus, count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+GROUP BY 1
+""",
+)
+def semi_join_exists(spark: SparkSession, sf: str) -> DataFrame:
+    o, li = load_tables(spark, sf, "orders", "lineitem")
+    big = li.filter(F.col("l_quantity") >= 49).select("l_orderkey")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------------------------------------------------- U1/U2/A6
+
+
+@register(
+    "union_distinct_reagg",
+    family="U1/U2 union-all + distinct (ref st_hosp.sql:323-392); A6 re-agg of pre-aggs (ref cdm_observation_period.sql)",
+    oracle="""
+WITH per_source AS (
+  SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+  UNION ALL
+  SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+  UNION ALL
+  SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, min(lo) AS span_start, max(hi) AS span_end, count(*) AS n_sources
+FROM per_source GROUP BY user_id
+""",
+)
+def union_distinct_reagg(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+
+    def per(t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        )
+
+    u = per("click").unionByName(per("view")).unionByName(per("purchase"))
+    return u.groupBy("user_id").agg(
+        F.min("lo").alias("span_start"),
+        F.max("hi").alias("span_end"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+
+
+# -------------------------------------------------------------------- A2-A5
+
+
+@register(
+    "agg_conditional_having",
+    family="A3 having (ref lk_vis_part_1.sql:89-97) + A4 conditional agg (ref post_etl_audit.sql:193-195)",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             * 100.0 / count(*), 2) AS error_pct
+FROM events
+GROUP BY user_id
+HAVING count(*) > 10
+""",
+)
+def agg_conditional_having(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.alias("n_errors"),
+            F.round(n_err * 100.0 / F.count(F.lit(1)), 2).alias("error_pct"),
+        )
+        .filter(F.col("n_events") > 10)
+    )
+
+
+@register(
+    "distinct_count_audit",
+    family="A2 distinct + A5 population counts (ref post_etl_audit.sql:58-182); countDistinct",
+    oracle="""
+SELECT 'events' AS tbl, count(*) AS n_rows, count(DISTINCT user_id) AS n_keys FROM events
+UNION ALL
+SELECT 'orders' AS tbl, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_keys FROM orders
+UNION ALL
+SELECT 'lineitem' AS tbl, count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys FROM lineitem
+""",
+)
+def distinct_count_audit(spark: SparkSession, sf: str) -> DataFrame:
+    e, o, li = load_tables(spark, sf, "events", "orders", "lineitem")
+
+    def pop(df: DataFrame, tbl: str, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+        )
+
+    return (
+        pop(e, "events", "user_id")
+        .unionByName(pop(o, "orders", "o_custkey"))
+        .unionByName(pop(li, "lineitem", "l_orderkey"))
+    )
+
+
+# ---------------------------------------------------------------------- O2/O3
+
+
+@register(
+    "topk_per_group",
+    family="O2 top-k per group via rank window (ref post_etl_audit.sql:341-350)",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) AS price_c
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    (o,) = load_tables(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            _cents("o_totalprice").alias("price_c"),
+        )
+    )
+
+
+@register(
+    "global_topk",
+    family="O3 global ORDER BY + LIMIT (TakeOrderedAndProject; ref tmp_top100.sql)",
+    oracle="""
+SELECT c_custkey, c_name, cast(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 10
+""",
+)
+def global_topk(spark: SparkSession, sf: str) -> DataFrame:
+    (c,) = load_tables(spark, sf, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", _cents("c_acctbal").alias("acctbal_c"))
+    )
+
+
+# ------------------------------------------------------------------- §2.8
+
+
+@register(
+    "scalar_functions",
+    family="§2.8: regexp_extract w/ BQ NULL-on-miss shim, coalesce/nullif, date math, JSON extract",
+    oracle="""
+SELECT event_id,
+       nullif(regexp_extract(event_type, '^(s[a-z]+)', 1), '') AS s_word,
+       coalesce(nullif(event_type, 'view'), 'VIEWED') AS type_or_default,
+       cast(ts AS DATE) AS d,
+       cast(ts + INTERVAL 30 DAY AS DATE) AS d_plus30,
+       datediff('day', TIMESTAMP '2024-01-01', ts) AS days_since,
+       json_extract_string(props, '$.k') AS k_val
+FROM events
+""",
+)
+def scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """regexp_extract: Spark returns '' on miss (like DuckDB), the reference's
+    BigQuery dialect returned NULL — reproduce NULL semantics with nullif
+    (SURVEY.md §2.8 caveat; ref shim etl/duckdb/macros.sql:23)."""
+    (e,) = load_tables(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.nullif(F.regexp_extract("event_type", r"^(s[a-z]+)", 1), F.lit("")).alias(
+            "s_word"
+        ),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("view")), F.lit("VIEWED")).alias(
+            "type_or_default"
+        ),
+        F.to_date("ts").alias("d"),
+        F.to_date(F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("d_plus30"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.get_json_object("props", "$.k").alias("k_val"),
+    )
+
+
+@register(
+    "explode_split_words",
+    family="§2.8 UNNEST(string_split) (ref post_etl_audit.sql:471-473) -> explode(split)",
+    oracle="""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+WHERE word <> ''
+GROUP BY word
+""",
+)
+def explode_split_words(spark: SparkSession, sf: str) -> DataFrame:
+    (p,) = load_tables(spark, sf, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "deterministic_row_id",
+    family="§2.8 hash ids: FARM_FINGERPRINT(TO_JSON_STRING(STRUCT(...))) -> xxhash64(to_json(struct)) (ref st_hosp_base.sql:28-33)",
+    oracle=None,  # hash functions differ across engines by design; determinism
+    # is asserted in tests/test_operators.py instead (ref test_deterministic_load_row_id.py)
+)
+def deterministic_row_id_op(spark: SparkSession, sf: str) -> DataFrame:
+    from mimic_spark.functions.hashing import deterministic_row_id, trace_id
+
+    (o,) = load_tables(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        deterministic_row_id("o_orderkey", "o_custkey").alias("load_row_id"),
+        trace_id(orderkey="o_orderkey", custkey="o_custkey").alias("trace_id"),
+    )

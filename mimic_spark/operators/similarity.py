@@ -1,0 +1,164 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- brute-force cosine top-k (the exactness baseline)    — SQL-oracled vs DuckDB
+  list_cosine_similarity (both sides compute in double)
+- LSH-bucketed ANN (random-hyperplane signs)           — rows-only; pytest
+  asserts recall vs the brute-force baseline
+
+Dot products run JVM-side via zip_with/aggregate higher-order functions — no
+Python, no UDF.  At cluster scale the query side is small and broadcast; the
+corpus side streams. An IVF variant would replace the hyperplane buckets with
+k-means centroids — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_spark.operators.catalog import load_tables, register
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    family="training-data: brute-force cosine top-k similarity (exact ANN baseline)",
+    oracle=f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    (e,) = load_tables(spark, sf, "embeddings")
+    e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(f"rn <= {TOP_K}")
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+# 4 planes -> 16 buckets: sized for the small test corpus (recall first);
+# at cluster scale planes grow ~log2(corpus/target_bucket_size)
+N_PLANES = 4
+
+
+@register(
+    "ann_lsh_bucketed",
+    family="training-data: LSH-bucketed ANN (random-hyperplane signature -> bucket join -> exact rescore)",
+    oracle=None,  # hyperplanes derive from xxhash64 (engine hash); pytest
+    # asserts recall >= 0.6 vs ann_cosine_topk and determinism
+)
+def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path: deterministic pseudo-random hyperplanes -> sign
+    signature -> candidates share the query's bucket (or differ in 1 bit via
+    multi-probe) -> exact cosine rescore of candidates only.
+
+    Hyperplane p component j = sign-ish value derived from xxhash64(p, j):
+    deterministic, no stored model, identical across runs and executors.
+    """
+    from pyspark.sql import Window as W
+
+    (e,) = load_tables(spark, sf, "embeddings")
+    dim = 64
+    e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def plane(p: int) -> F.Column:
+        # component j in {-1.0, +1.0} from parity of xxhash64(p*1024 + j)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                F.pmod(F.xxhash64(F.lit(p) * 1024 + j), F.lit(2)) == 0, 1.0
+            ).otherwise(-1.0),
+        )
+
+    sig = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        bit = (_dot(F.col("v"), plane(p)) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, p)
+    sigs = e.select("vec_id", "v", sig.alias("bucket"))
+
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # multi-probe: exact bucket or hamming-1 neighbor buckets
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("probe"),
+    )
+    cand = probes.join(
+        sigs, (F.col("probe") == F.col("bucket")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            4,
+        ).alias("cos_sim"),
+    ).distinct()
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(f"rn <= {TOP_K}")
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

@@ -1,0 +1,235 @@
+"""Window-function operator family (SURVEY.md §2.5) + range/as-of join (J3).
+
+The reference's most loaded operator family — 34 OVER clauses.  Each op here
+re-expresses one of its named patterns over the driver's events/orders tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mimic_spark.operators.catalog import load_tables, register
+
+
+@register(
+    "window_dedup_latest",
+    family="W1 row_number dedup / pick-latest (ref lk_meas_labevents.sql:142-145; the CDC dedup primitive)",
+    oracle="""
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def window_dedup_latest(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "window_lag_lead",
+    family="W2 LAG/LEAD prev/next event (ref lk_vis_part_1.sql:105-114, cdm_visit_occurrence.sql:91-94)",
+    oracle="""
+SELECT event_id, user_id,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       cast(round((value - lag(value) OVER w) * 100) AS BIGINT) AS delta_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round((F.col("value") - F.lag("value").over(w)) * 100)
+        .cast("long")
+        .alias("delta_c"),
+    )
+
+
+@register(
+    "window_first_running_max",
+    family="W3 FIRST_VALUE (ref cdm_person.sql:33-40) + W4 running MAX ROWS UNBOUNDED PRECEDING (ref cdm_drug_era.sql:82-89)",
+    oracle="""
+SELECT event_id, user_id,
+       first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type,
+       cast(round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100, 0)
+            AS BIGINT) AS running_max_c
+FROM events
+""",
+)
+def window_first_running_max(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.round(
+            F.max("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            * 100
+        ).cast("long").alias("running_max_c"),
+    )
+
+
+@register(
+    "sessionize_gaps",
+    family="W2 sessionization: lag + cumulative sum over gap>threshold (ref lk_vis_part_2.sql:353-381 service sessions)",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR datediff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def sessionize_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # parquet ts is TIMESTAMP_NTZ in Spark 4: cast via timestamp to seconds
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap_s = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap_s.isNull() | (gap_s > 3600), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_sess)
+        .withColumn("session_id", F.sum("new_session").over(wrun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "era_gaps_islands",
+    family="W5 OHDSI era build: union padded intervals -> islands with 2h gap (ref cdm_drug_era.sql:51-260, cdm_condition_era.sql:36-150)",
+    oracle="""
+WITH err AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+flagged AS (
+  SELECT user_id, start_ts, end_ts,
+         CASE WHEN lag(end_ts) OVER w IS NULL
+                OR lag(end_ts) OVER w < start_ts THEN 1 ELSE 0 END AS new_era
+  FROM err
+  WINDOW w AS (PARTITION BY user_id ORDER BY start_ts)
+),
+eras AS (
+  SELECT user_id, start_ts, end_ts,
+         sum(new_era) OVER (PARTITION BY user_id ORDER BY start_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era_id
+  FROM flagged
+)
+SELECT user_id, cast(era_id AS BIGINT) AS era_id,
+       min(start_ts) AS era_start, max(end_ts) AS era_end, count(*) AS n_incidents
+FROM eras GROUP BY user_id, era_id
+""",
+)
+def era_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands via lag + cumulative flag-sum — same algebra as the
+    reference's two-pass running-max era build, in its simpler modern form.
+    NOTE: lag(end_ts) (not running max) is sufficient here because intervals
+    share a fixed 2h width, so end order == start order."""
+    (e,) = load_tables(spark, sf, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    w = W.partitionBy("user_id").orderBy("start_ts")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_end = F.lag("end_ts").over(w)
+    new_era = F.when(prev_end.isNull() | (prev_end < F.col("start_ts")), 1).otherwise(0)
+    return (
+        err.withColumn("new_era", new_era)
+        .withColumn("era_id", F.sum("new_era").over(wrun).cast("long"))
+        .groupBy("user_id", "era_id")
+        .agg(
+            F.min("start_ts").alias("era_start"),
+            F.max("end_ts").alias("era_end"),
+            F.count(F.lit(1)).alias("n_incidents"),
+        )
+    )
+
+
+@register(
+    "asof_range_join",
+    family="J3 point-in-interval as-of join + W1 pick-earliest (ref lk_meas_labevents.sql:138-154 hadm_id recovery)",
+    oracle="""
+SELECT c.event_id AS event_id,
+       i.incident_id AS incident_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (
+  SELECT event_id AS incident_id, user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi
+  FROM events WHERE event_type = 'error'
+) i ON c.user_id = i.user_id AND c.ts BETWEEN i.lo AND i.hi
+QUALIFY row_number() OVER (PARTITION BY c.event_id ORDER BY i.lo DESC, i.incident_id) = 1
+""",
+)
+def asof_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Recover the 'incident' (error event) a click belongs to: equi-join on
+    user_id + range predicate, then keep the latest-starting incident — the
+    reference's missing-hadm_id recovery, Spark-first.
+
+    Scale note: the equi key (user_id) makes this a sort-merge/shuffle-hash
+    join with a range post-filter, NOT a broadcast-nested-loop; the window
+    then picks one row per fact.  Same plan shape the reference relies on
+    DuckDB to produce."""
+    (e,) = load_tables(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("i_user"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+    )
+    j = clicks.join(
+        incidents,
+        (F.col("user_id") == F.col("i_user"))
+        & F.col("ts").between(F.col("lo"), F.col("hi")),
+        "left",
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("lo").desc_nulls_last(), F.col("incident_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("event_id", "incident_id")
+    )

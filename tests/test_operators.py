@@ -1,0 +1,150 @@
+"""Operator-catalog tests, focused on what the DuckDB oracle can't check:
+
+- rows-only ops (engine-hash-based): determinism, cross-validation against
+  their exact counterparts (LSH vs brute force, minhash vs exact Jaccard);
+- deterministic_row_id stability across runs (the reference's
+  test_deterministic_load_row_id.py contract);
+- plan-shape assertions: broadcast where intended, no row-at-a-time Python
+  (BatchEvalPython) anywhere, filter pushdown reaching the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mimic_spark.operators import OPS
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_registry_complete():
+    # every op has a fn; SQL-expressible ones carry oracles
+    assert len(OPS) >= 30
+    n_oracled = sum(1 for op in OPS.values() if op.oracle)
+    assert n_oracled >= 25
+
+
+def test_deterministic_row_id_stable(spark):
+    """Same rows -> same ids across two independent executions
+    (ref test/py/test_deterministic_load_row_id.py:28-70)."""
+    fn = OPS["deterministic_row_id"].fn
+    a = {r["o_orderkey"]: r["load_row_id"] for r in fn(spark, SF).collect()}
+    b = {r["o_orderkey"]: r["load_row_id"] for r in fn(spark, SF).collect()}
+    assert a == b
+    # injective in practice over this keyspace
+    assert len(set(a.values())) == len(a)
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    """LSH candidates, after verification, are a subset of the exact
+    Jaccard pairs — and recall is high at this threshold."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in OPS["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in OPS["dedup_minhash_lsh"].fn(spark, SF).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_simhash_deterministic_and_sane(spark):
+    fn = OPS["dedup_simhash"].fn
+    a = sorted(tuple(r) for r in fn(spark, SF).collect())
+    b = sorted(tuple(r) for r in fn(spark, SF).collect())
+    assert a == b
+    for doc_a, doc_b, hamming in a:
+        assert doc_a < doc_b
+        assert 0 <= hamming <= 3
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    brute = {}
+    for r in OPS["ann_cosine_topk"].fn(spark, SF).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in OPS["ann_lsh_bucketed"].fn(spark, SF).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx) == set(brute)
+    recalls = [
+        len(brute[q] & approx.get(q, set())) / len(brute[q]) for q in brute
+    ]
+    avg = sum(recalls) / len(recalls)
+    # the driver's synthetic embeddings are near-uniform random (top-5 cosine
+    # ~0.3, mean 0) — the adversarial case for LSH; ideal 4-plane Rademacher
+    # LSH measures ~0.44 recall here (numpy check), vs 0.31 for a random
+    # same-size candidate set. Assert we beat random and stay in the ideal
+    # band; on clustered real embeddings recall is far higher.
+    assert avg >= 0.35, f"ANN-LSH avg recall too low: {avg} ({recalls})"
+
+
+def test_doc_fingerprint_matches_python_twin(spark):
+    """The rolling hash is plain integer arithmetic — recompute 20 docs in
+    Python and compare."""
+    rows = OPS["doc_fingerprint"].fn(spark, SF).orderBy("doc_id").limit(20).collect()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+
+    def fp(text: str) -> int:
+        words = text.strip().split()
+        acc = 0
+        for w in words:
+            h = 0
+            for ch in w:
+                h = (h * 31 + ord(ch)) % 2147483647
+            acc = (acc * 1000003 + h) % 2147483647
+        return acc
+
+    for r, d in zip(rows, docs):
+        assert r["doc_id"] == d["doc_id"]
+        assert r["fingerprint"] == fp(d["text"]), d["doc_id"]
+
+
+# ------------------------------------------------------------- plan checks
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_row_udfs_anywhere(spark):
+    """BASELINE.json: no per-row Python. Plans may contain ArrowEvalPython
+    (pandas UDF) but never BatchEvalPython (row-at-a-time)."""
+    for name, op in OPS.items():
+        if name == "cdc_transcripts_final":
+            continue  # multi-action pipeline, checked in CDC tests
+        plan = _physical_plan(op.fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_broadcast_join_in_star_query(spark):
+    plan = _physical_plan(OPS["join_broadcast_star"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _physical_plan(OPS["q1_pricing_summary"].fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _physical_plan(OPS["global_topk"].fn(spark, SF))
+    # only 3 of 5 customer columns should be read
+    assert "c_mktsegment" not in plan.split("ReadSchema")[-1]
+
+
+def test_sort_merge_join_for_asof(spark):
+    """The as-of/range join must use the equi-key (user_id), not degenerate
+    to broadcast-nested-loop over the range predicate."""
+    plan = _physical_plan(OPS["asof_range_join"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
