@@ -1,0 +1,109 @@
+"""Structured Streaming entry: tail the changelog, apply via foreachBatch.
+
+The streaming twin of apply.run_batched: a file-source stream over the
+changelog directory drives TranscriptCdc.apply_batch through foreachBatch.
+Exactly-once composition:
+
+- Spark's checkpoint (checkpointLocation) makes batch ids stable across
+  restarts and replays the in-flight batch after a crash;
+- the table's atomic (batch_id, lsn_hi) commit marker makes the replayed
+  MERGE a no-op (merge.merge_into skip);
+- the LSN monotonicity guard makes *any* cross-batch ordering converge, so
+  correctness never depends on which files land in which micro-batch.
+
+This triple is the engine's generalization of the reference's resumable
+ingest (fingerprint ledger + skip, scripts/ingest_mimic_csv_to_duckdb.py).
+
+The changelog schema is declared (DDL-driven, reference-style: no inference);
+pre-evolution files simply lack the `tool` column and read as NULL —
+the MERGE layer evolves the *table* schema only when a batch actually
+delivers the column's first non-null values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mimic_spark.streaming.apply import TranscriptCdc
+
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def run_stream(
+    spark: SparkSession,
+    changelog_glob: str,
+    table_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    max_files_per_trigger: int = 1,
+    fail_after: int | None = None,
+) -> TranscriptCdc:
+    """Process all currently-available changelog files, then stop
+    (availableNow trigger). Re-invoke with the same checkpoint_dir to resume.
+
+    fail_after: test hook — raise after N successful batches (crash drill).
+    """
+    cdc = TranscriptCdc(spark, table_path, n_buckets=n_buckets)
+    state = {"applied": 0}
+
+    def handle(batch_df, batch_id: int) -> None:
+        if fail_after is not None and state["applied"] >= fail_after:
+            raise RuntimeError(f"injected failure after {fail_after} batches")
+        cdc.apply_batch(batch_df, batch_id)
+        state["applied"] += 1
+
+    stream = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changelog_glob)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return cdc
+
+
+def windowed_rate_metrics(
+    spark: SparkSession,
+    changelog_glob: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Event-time windowed ingest-rate rollup with a watermark for late LSNs
+    (SURVEY §2.9: tumbling-window metric rollups). Returns a streaming
+    DataFrame; callers attach a sink (tests use the memory sink)."""
+    stream = spark.readStream.schema(CHANGELOG_SCHEMA).parquet(changelog_glob)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("op"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("lsn").alias("lsn_lo"),
+            F.max("lsn").alias("lsn_hi"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "op",
+            "n_events",
+            "lsn_lo",
+            "lsn_hi",
+        )
+    )

@@ -1,0 +1,143 @@
+"""CSV ingest (DDL-driven, fingerprint-skip, on_exists), config, audit gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mimic_spark.config import load_config, merge_config, substitute_variables
+from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
+from mimic_spark.sources.csv_ingest import (
+    IngestRegistry,
+    ingest_csv_table,
+    parse_ddl,
+    typed_csv_load,
+)
+from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+from mimic_spark.streaming.audit import AuditError, run_audit
+
+DDL = """
+CREATE TABLE hosp.patients (
+  subject_id INTEGER NOT NULL,
+  gender VARCHAR(1),
+  anchor_age SMALLINT,
+  weight DOUBLE PRECISION,
+  admit_ts TIMESTAMP(3),
+  birth_date DATE,
+  PRIMARY KEY (subject_id)
+);
+CREATE TABLE icu.chartevents (
+  stay_id BIGINT,
+  value TEXT,
+  valuenum NUMERIC(10,2)
+);
+"""
+
+
+def test_parse_ddl():
+    schemas = parse_ddl(DDL)
+    assert set(schemas) == {"patients", "chartevents"}
+    p = {f.name: f.dataType.simpleString() for f in schemas["patients"].fields}
+    assert p == {
+        "subject_id": "int",
+        "gender": "string",
+        "anchor_age": "smallint",
+        "weight": "double",
+        "admit_ts": "timestamp",
+        "birth_date": "date",
+    }
+    c = {f.name: f.dataType.simpleString() for f in schemas["chartevents"].fields}
+    assert c == {"stay_id": "bigint", "value": "string", "valuenum": "double"}
+
+
+CSV = """subject_id,gender,anchor_age,weight,admit_ts,extra_col
+1,M,44,70.5,2024-01-01 10:00:00,ignoreme
+2,F,oops,81.25,2024-02-03 11:30:00,x
+,U,33,notanumber,bad-timestamp,y
+"""
+
+
+def test_typed_csv_load_drift_and_badcells(spark, tmp_table_dir):
+    """Extra column ignored; missing column -> typed NULL; bad cells -> NULL
+    (reference TRY_CAST load + drift shims)."""
+    path = os.path.join(tmp_table_dir, "patients.csv")
+    with open(path, "w") as f:
+        f.write(CSV)
+    schema = parse_ddl(DDL)["patients"]
+    rows = {r["subject_id"]: r for r in typed_csv_load(spark, path, schema).collect()}
+    assert set(rows) == {1, 2, None}
+    assert rows[1]["weight"] == 70.5
+    assert rows[2]["anchor_age"] is None  # 'oops' -> NULL, row survives
+    assert rows[None]["weight"] is None
+    assert rows[None]["admit_ts"] is None
+    assert all(r["birth_date"] is None for r in rows.values())  # missing col
+    assert "extra_col" not in [f.name for f in schema.fields]
+
+
+def test_ingest_registry_skip_and_on_exists(spark, tmp_table_dir):
+    path = os.path.join(tmp_table_dir, "patients.csv")
+    with open(path, "w") as f:
+        f.write(CSV)
+    schema = parse_ddl(DDL)["patients"]
+    tgt = os.path.join(tmp_table_dir, "warehouse")
+    reg = IngestRegistry(tgt)
+
+    n1 = ingest_csv_table(spark, path, schema, tgt, "patients", registry=reg)
+    assert n1 == 3
+    # unchanged file: fingerprint match => skipped
+    n2 = ingest_csv_table(spark, path, schema, tgt, "patients", registry=reg)
+    assert n2 == 0
+    # file touched with new content => reloaded (append doubles rows)
+    with open(path, "a") as f:
+        f.write("7,M,50,66.0,2024-03-01 00:00:00,z\n")
+    n3 = ingest_csv_table(
+        spark, path, schema, tgt, "patients", on_exists="append", registry=reg
+    )
+    assert n3 == 7  # 3 + 4
+    # on_exists=fail raises on existing target
+    with pytest.raises(Exception):
+        ingest_csv_table(spark, path, schema, tgt, "patients", on_exists="fail")
+    # limit honored
+    n4 = ingest_csv_table(
+        spark, path, schema, tgt, "patients_l", on_exists="replace", limit=2
+    )
+    assert n4 == 2
+
+
+def test_config_merge_and_substitution():
+    assert merge_config({"a": {"x": 1, "y": 2}}, {"a": {"y": 3}}) == {
+        "a": {"x": 1, "y": 3}
+    }
+    # longest-match-first: @ab before @a; fixpoint chains
+    vars_ = {"a": "@ab", "ab": "Z"}
+    assert substitute_variables("@a @ab", vars_) == "Z Z"
+    conf = load_config(None, ["n_events=5000", "workdir=/tmp/@mode", "mode=batch"])
+    assert conf["n_events"] == 5000
+    assert conf["workdir"] == "/tmp/batch"
+
+
+def test_audit_gate(spark, tmp_table_dir):
+    spec = ChangelogSpec(n_events=2000, n_convs=60, n_chunks=4)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "changelog")
+    )
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "transcripts"))
+    run_batched(spark, cdc, chunks)
+
+    rep = run_audit(cdc)
+    assert not rep.failures
+    assert rep.checks["key_uniqueness"]["ok"]
+    assert rep.checks["watermark"]["ok"]
+    assert rep.checks["ledger_continuity"]["ok"]
+    assert rep.checks["lineage_coverage"]["ok"]
+
+    n = cdc.read_published().count()
+    rep2 = run_audit(cdc, expected_final_count=n)
+    assert rep2.checks["population_equality"]["ok"]
+
+    # the gate actually gates: wrong expectation aborts the run
+    with pytest.raises(AuditError, match="population_equality"):
+        run_audit(cdc, expected_final_count=n + 1)
+    rep3 = run_audit(cdc, expected_final_count=n + 1, fail_on_error=False)
+    assert rep3.failures
