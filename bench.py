@@ -1,0 +1,167 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR + CDC throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc": {...},                       # measured in this run
+   "cdc_scaling": {...}}               # recorded N->4N study (BENCH/scaling.json)
+
+The N->4N scaling study needs two JVMs (~10 min) and lives in
+BENCH/BASELINE.md / BENCH/scaling.json with exact repro commands;
+set SPARK_GRAFT_BENCH_FULL=1 to re-run it inline here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_broadcast_star",
+    "join_left_chain",
+    "window_dedup_latest",
+    "sessionize_gaps",
+    "era_gaps_islands",
+    "asof_range_join",
+    "topk_per_group",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_scores",
+    "doc_fingerprint",
+]
+
+CDC_BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "4000000"))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from mimic_spark.operators import OPS
+    from mimic_spark.session import get_spark
+
+    spark = get_spark(
+        parallelism=cpus,
+        app_name="bench",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(8 * 1024 * 1024),
+            **(
+                {"spark.local.dir": "/dev/shm/mimic_spark_bench/spark_local"}
+                if os.path.isdir("/dev/shm")
+                else {}
+            ),
+        },
+    )
+
+    # warm the session (JVM/codegen) outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = OPS[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    # CDC throughput at this session's core count (single level, in-process)
+    from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
+    from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+
+    base = (
+        "/dev/shm/mimic_spark_bench"
+        if os.path.isdir("/dev/shm")
+        else "/tmp/mimic_spark_bench"
+    )
+    spec = ChangelogSpec(
+        n_events=CDC_BENCH_EVENTS,
+        n_convs=max(1000, CDC_BENCH_EVENTS // 40),
+        n_chunks=2,
+        files_per_chunk=32,
+        body_words=48,
+    )
+    chg = os.path.join(base, f"changelog_{spec.n_events}")
+    if not os.path.exists(os.path.join(chg, f"chunk-{spec.n_chunks-1:05d}", "_SUCCESS")):
+        write_changelog_chunks(spark, spec, chg)
+    table = os.path.join(base, "transcripts_bench")
+    for suf in ("", "_commits", "_metrics"):
+        shutil.rmtree(table + suf, ignore_errors=True)
+    cdc = TranscriptCdc(spark, table, n_buckets=64)
+    t0 = time.time()
+    run_batched(
+        spark,
+        cdc,
+        [os.path.join(chg, f"chunk-{c:05d}") for c in range(spec.n_chunks)],
+    )
+    cdc_dt = time.time() - t0
+    cdc_info = {
+        "n_events": spec.n_events,
+        "parallelism": cpus,
+        "apply_sec": round(cdc_dt, 2),
+        "events_per_sec": round(spec.n_events / cdc_dt, 1),
+    }
+
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1":
+        runs = []
+        for p in (2, 8):
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_cdc.py"),
+                    "--parallelism", str(p),
+                    "--n-events", "20000000",
+                    "--n-chunks", "2",
+                    "--n-convs", "500000",
+                    "--workdir", os.path.join(base, "full"),
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        eff = runs[1]["events_per_sec"] / (4 * runs[0]["events_per_sec"])
+        scaling = {"runs": runs, "scaling_efficiency": round(eff, 3)}
+    elif os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            rec = json.load(f)
+        scaling = {
+            "recorded": True,
+            "runs": rec["runs"],
+            "scaling_efficiency": rec["scaling_efficiency"],
+            "see": "BENCH/BASELINE.md",
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall seconds (13 operators, noop sink) + CDC changelog->upsert throughput",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cdc": cdc_info,
+                "cdc_scaling": scaling,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

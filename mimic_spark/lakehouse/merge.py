@@ -91,8 +91,14 @@ def merge_into(
     batch_id: int | None = None,
     extra_props: dict[str, Any] | None = None,
     max_retries: int = 2,
+    affected_buckets: list[int] | None = None,
 ) -> MergeResult:
-    """Apply one deduped change-batch to the table. Idempotent per batch_id."""
+    """Apply one deduped change-batch to the table. Idempotent per batch_id.
+
+    affected_buckets: pass the source's bucket list when the caller already
+    knows it (the apply layer derives it from the lineage pre-agg) to skip
+    the distinct scan here.
+    """
     for attempt in range(max_retries + 1):
         base = table.snapshot()
         last = base.props.get("last_batch_id")
@@ -101,7 +107,7 @@ def merge_into(
         try:
             return _merge_once(
                 table, source, base, lsn_col, op_col, delete_op, insert_op,
-                batch_id, extra_props,
+                batch_id, extra_props, affected_buckets,
             )
         except CommitConflict:
             if attempt == max_retries:
@@ -121,6 +127,7 @@ def _merge_once(
     insert_op: str,
     batch_id: int | None,
     extra_props: dict[str, Any] | None,
+    affected_buckets: list[int] | None = None,
 ) -> MergeResult:
     keys = table.key_cols
     payload_cols = [
@@ -131,11 +138,13 @@ def _merge_once(
     )
     new_schema = ensure_internal_schema(evolve_schema(base.schema, incoming))
 
-    affected = [
-        r[0]
-        for r in source.select(table.bucket_col().alias("_b")).distinct().collect()
-    ]
-    affected.sort()
+    if affected_buckets is not None:
+        affected = sorted(set(affected_buckets))
+    else:
+        affected = sorted(
+            r[0]
+            for r in source.select(table.bucket_col().alias("_b")).distinct().collect()
+        )
 
     if not affected:
         # empty batch: no data files change, but the batch marker must still

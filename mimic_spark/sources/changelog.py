@@ -75,6 +75,9 @@ class ChangelogSpec:
     n_chunks: int = 8  # micro-batches
     lag: int = 400  # out-of-order jitter in LSNs
     evolve_frac: float = 0.5  # `tool` column appears from this point on
+    files_per_chunk: int = 4  # parquet files per chunk (read parallelism)
+    body_words: int = 0  # extra filler words per text (0 = short test rows;
+    # bench uses ~48 for realistic KB-ish transcript turns)
 
     @property
     def chunk_size(self) -> int:
@@ -143,12 +146,24 @@ def gen_changelog_df(
     w2 = F.element_at(words, (F.pmod(r_word + 17, F.lit(64)) + 1).cast("int"))
     w3 = F.element_at(words, (F.pmod(r_word + 41, F.lit(64)) + 1).cast("int"))
     nbsp = F.when(F.pmod(r_nbsp, F.lit(7)) == 0, F.lit(" ")).otherwise(F.lit(" "))
-    text = F.concat(
+    parts = [
         F.lit("turn "), turn_idx.cast("string"),
         F.lit(" of "), conv_id,
         F.lit(" rev "), lsn.cast("string"),
-        F.lit(" ::  "), w1, F.lit("\t"), w2, F.lit("  "), w3, nbsp, F.lit("."),
-    )
+        F.lit(" ::  "), w1, F.lit("\t"), w2, F.lit("  "), w3,
+    ]
+    if spec.body_words > 0:
+        body = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(spec.body_words - 1)),
+                lambda i: F.element_at(
+                    words, (F.pmod(r_word + i * 7, F.lit(64)) + 1).cast("int")
+                ),
+            ),
+        )
+        parts += [F.lit(" "), body]
+    text = F.concat(*parts, nbsp, F.lit("."))
 
     tool = F.when(
         (lsn >= F.lit(spec.evolve_at))
@@ -208,7 +223,7 @@ def write_changelog_chunks(
             if c < spec.evolve_chunk:
                 chunk = chunk.drop("tool")
             p = os.path.join(out_dir, f"chunk-{c:05d}")
-            chunk.coalesce(max(1, spec.n_chunks // 4)).write.mode(
+            chunk.repartition(spec.files_per_chunk).write.mode(
                 "overwrite"
             ).parquet(p)
             paths.append(p)
@@ -264,9 +279,13 @@ def gen_events_py(spec: ChangelogSpec) -> list[dict]:
         w2 = WORDS[(r_word + 17) % 64]
         w3 = WORDS[(r_word + 41) % 64]
         nbsp = " " if r_nbsp % 7 == 0 else " "
-        text = (
-            f"turn {turn_idx} of {conv_id} rev {lsn} ::  {w1}\t{w2}  {w3}{nbsp}."
-        )
+        text = f"turn {turn_idx} of {conv_id} rev {lsn} ::  {w1}\t{w2}  {w3}"
+        if spec.body_words > 0:
+            body = " ".join(
+                WORDS[(r_word + i * 7) % 64] for i in range(spec.body_words)
+            )
+            text += " " + body
+        text += f"{nbsp}."
 
         tool = None
         if lsn >= spec.evolve_at and role == "assistant" and r_tool % 3 == 0:

@@ -126,6 +126,11 @@ class TranscriptCdc:
             SnapshotTable.create(sp, mp, METRICS_SCHEMA, ["batch_id", "partition_id"], 1)
         self.ledger = SnapshotTable(sp, lp)
         self.metrics = SnapshotTable(sp, mp)
+        # single-writer cache of recorded batch ids: avoids a ledger read per
+        # batch (the table itself stays the source of truth on restart)
+        self._ledger_ids: set[int] = {
+            r["batch_id"] for r in self.ledger.read().select("batch_id").collect()
+        }
 
     # ------------------------------------------------------------- pipeline
 
@@ -156,16 +161,18 @@ class TranscriptCdc:
     def apply_batch(self, batch: DataFrame, batch_id: int) -> MergeResult:
         """foreachBatch body. Idempotent per batch_id."""
         deduped, lineage = self.prepare(batch)
-        result = merge_into(self.table, deduped, batch_id=batch_id)
-        self._record(batch_id, result, lineage)
+        # one pass over the source yields BOTH the per-bucket lineage rows and
+        # the affected-bucket list for merge pruning (no separate distinct job)
+        lineage_rows = lineage.collect()
+        affected = sorted(r["_bucket"] for r in lineage_rows)
+        result = merge_into(
+            self.table, deduped, batch_id=batch_id, affected_buckets=affected
+        )
+        self._record(batch_id, result, lineage_rows)
         return result
 
-    def _record(self, batch_id: int, result: MergeResult, lineage: DataFrame) -> None:
-        have = (
-            self.ledger.read().filter(F.col("batch_id") == batch_id).limit(1).count()
-            > 0
-        )
-        if have:
+    def _record(self, batch_id: int, result: MergeResult, lineage_rows) -> None:
+        if batch_id in self._ledger_ids:
             return
         if result.skipped:
             # crash happened between data-commit and ledger-append on a prior
@@ -196,20 +203,24 @@ class TranscriptCdc:
             "committed_at", F.current_timestamp()
         )
         self.ledger.append(ldf)
-        if not result.skipped:
-            mdf = lineage.select(
-                F.lit(int(batch_id)).cast("long").alias("batch_id"),
-                F.col("_bucket").cast("int").alias("partition_id"),
-                F.col("lsn_lo").cast("long"),
-                F.col("lsn_hi").cast("long"),
-                F.col("rows_in").cast("long"),
-                F.col("rows_deduped").cast("long"),
-                F.col("inserts").cast("long"),
-                F.col("updates").cast("long"),
-                F.col("deletes").cast("long"),
-                F.lit(self.run_id).alias("run_id"),
-            )
-            self.metrics.append(mdf)
+        self._ledger_ids.add(int(batch_id))
+        if not result.skipped and lineage_rows:
+            mrows = [
+                (
+                    int(batch_id),
+                    int(r["_bucket"]),
+                    int(r["lsn_lo"]),
+                    int(r["lsn_hi"]),
+                    int(r["rows_in"]),
+                    int(r["rows_deduped"]),
+                    int(r["inserts"]),
+                    int(r["updates"]),
+                    int(r["deletes"]),
+                    self.run_id,
+                )
+                for r in lineage_rows
+            ]
+            self.metrics.append(self.spark.createDataFrame(mrows, METRICS_SCHEMA))
 
     # --------------------------------------------------------------- reads
 
