@@ -1,0 +1,113 @@
+"""Table maintenance: snapshot expiry, small-file compaction, tombstone GC.
+
+The reference ends its pipeline with cleanup + VACUUM
+(scripts/cleanup_duckdb.py:70-94); the Iceberg-world equivalents are
+expire_snapshots / rewrite_data_files / delete-orphan-files maintenance
+actions, implemented here for the native snapshot format:
+
+- expire_snapshots: drop old snapshot JSONs, delete data files no surviving
+  snapshot references (time travel window shrinks; readers of kept snapshots
+  unaffected — commits are immutable).
+- compact: rewrite every bucket to a single file (copy-on-write merges leave
+  one file per touched bucket per commit; a long stream accretes many), and
+  optionally GC delete-tombstones whose LSN is at-or-below the stream's
+  low-watermark (no late event can still arrive under it — the same
+  reasoning as streaming state eviction by watermark).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from mimic_spark.lakehouse.table import SnapshotTable
+
+
+def referenced_paths(table: SnapshotTable, versions: list[int]) -> set[str]:
+    out: set[str] = set()
+    for v in versions:
+        for fe in table.snapshot(v).files:
+            out.add(fe["path"])
+    return out
+
+
+def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
+    """Delete snapshots older than the newest keep_last, plus any data file
+    (or whole orphaned commit directory) they alone referenced."""
+    latest = table.latest_version()
+    keep = list(range(max(0, latest - keep_last + 1), latest + 1))
+    expired = list(range(0, keep[0]))
+    live = referenced_paths(table, keep)
+
+    removed_files = 0
+    data_dir = os.path.join(table.path, "data")
+    if os.path.isdir(data_dir):
+        for commit_dir in sorted(os.listdir(data_dir)):
+            cpath = os.path.join(data_dir, commit_dir)
+            for root, _dirs, files in os.walk(cpath):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, table.path)
+                    if fn.endswith(".parquet") and rel not in live:
+                        os.remove(full)
+                        removed_files += 1
+            # drop directories emptied of parquet (markers like _SUCCESS too)
+            has_parquet = any(
+                fn.endswith(".parquet")
+                for _r, _d, fns in os.walk(cpath)
+                for fn in fns
+            )
+            if not has_parquet:
+                shutil.rmtree(cpath, ignore_errors=True)
+
+    removed_snaps = 0
+    for v in expired:
+        p = os.path.join(table.path, "_log", f"v{v:012d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+            removed_snaps += 1
+    return {
+        "expired_snapshots": removed_snaps,
+        "removed_data_files": removed_files,
+        "kept_versions": keep,
+    }
+
+
+def compact(
+    table: SnapshotTable,
+    gc_tombstones_below: int | None = None,
+) -> dict:
+    """Rewrite the table to one file per bucket; optionally drop tombstones
+    whose _lsn <= gc_tombstones_below (safe once the low-watermark passed)."""
+    base = table.snapshot()
+    df = table.read(version=base.version)
+    dropped = 0
+    if gc_tombstones_below is not None and "_deleted" in df.columns:
+        before = df.count()
+        df = df.filter(
+            ~(
+                F.coalesce(F.col("_deleted"), F.lit(False))
+                & (F.col("_lsn") <= gc_tombstones_below)
+            )
+        )
+        dropped = before - df.count()
+    # write_data_files repartitions by bucket => exactly one task/file each
+    new_files = table.write_data_files(
+        df.coalesce(max(1, table.n_buckets)), base.version + 1
+    )
+    for fe in new_files:
+        fe["schema_id"] = base.schema_id
+    snap = table.commit(
+        base=base,
+        op="compact",
+        files=new_files,
+        props_update={"compacted_at_version": base.version},
+    )
+    return {
+        "version": snap.version,
+        "files_before": len(base.files),
+        "files_after": len(new_files),
+        "tombstones_dropped": int(dropped),
+    }

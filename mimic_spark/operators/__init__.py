@@ -6,4 +6,6 @@ from mimic_spark.operators import windows  # noqa: F401,E402
 from mimic_spark.operators import text  # noqa: F401,E402
 from mimic_spark.operators import dedup  # noqa: F401,E402
 from mimic_spark.operators import similarity  # noqa: F401,E402
+from mimic_spark.operators import multimodal  # noqa: F401,E402
+from mimic_spark.operators import skew  # noqa: F401,E402
 from mimic_spark.operators import cdc_flagship  # noqa: F401,E402

@@ -1,0 +1,146 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schema, partitioning, Arrow
+batch shape, mapInPandas signatures; the codec step is a clearly-marked stub
+(the sandbox image has no image/audio libraries), swapped for PIL/ffmpeg
+decoders in production with zero plan changes.
+
+Pattern: binary payloads ride an opaque ``binary`` column; per-batch work is
+``mapInPandas`` (Arrow-vectorized, no per-row Python), metadata extraction
+stays in JVM built-ins wherever the format allows.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_spark.operators.catalog import load_tables, register
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, width int, height int"
+)
+
+
+def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fake media table: binary payloads derived from documents.
+
+    Payload layout (little-endian): magic 4s | width i32 | height i32 |
+    body bytes.  Stands in for real image bytes; the header parse below is a
+    real binary decode exercised through the full Arrow path.
+    """
+    (d,) = load_tables(spark, sf, "documents")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = (pdf["doc_id"] % 640 + 16).astype("int32")
+            h = (pdf["doc_id"] % 480 + 16).astype("int32")
+            payloads = [
+                struct.pack("<4sii", b"FAKE", int(wi), int(hi))
+                + t.encode("utf-8")[:64]
+                for wi, hi, t in zip(w, h, pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [
+                        "image" if i % 3 else "audio" for i in pdf["doc_id"]
+                    ],
+                    "payload": payloads,
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(encode, schema=MEDIA_SCHEMA)
+
+
+def decode_media_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'decode': parses the binary header (real) and emits
+    deterministic fake features where a codec would run.
+
+    PRODUCTION: replace the feature block with PIL.Image.open /
+    soundfile.read — the mapInPandas signature, schema and partitioning are
+    unchanged.  A real decoder import would look like:
+        try:
+            from PIL import Image  # not in this sandbox image
+        except ImportError:
+            raise NotImplementedError("image codec unavailable; stub active")
+    """
+    for pdf in batches:
+        widths, heights, feats = [], [], []
+        for payload in pdf["payload"]:
+            magic, w, h = struct.unpack_from("<4sii", payload)
+            if magic != b"FAKE":
+                raise ValueError("bad media magic")
+            widths.append(w)
+            heights.append(h)
+            body = payload[12:]
+            # deterministic fake "embedding": byte histogram moments
+            s = sum(body) or 1
+            feats.append(
+                [
+                    round(len(body) / 64.0, 6),
+                    round(s / (255.0 * max(len(body), 1)), 6),
+                    round((body[0] if body else 0) / 255.0, 6),
+                    round((body[-1] if body else 0) / 255.0, 6),
+                ]
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "dec_width": pd.Series(widths, dtype="int32"),
+                "dec_height": pd.Series(heights, dtype="int32"),
+                "features": feats,
+            }
+        )
+
+
+@register(
+    "multimodal_decode_features",
+    family="training-data: binary media columns -> mapInPandas decode/feature-extract (codec stubbed, plumbing real)",
+    oracle=None,  # binary plumbing; shape/determinism asserted in pytest
+)
+def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = synthesize_media(spark, sf)
+    feats = media.repartition(8, "doc_id").mapInPandas(
+        decode_media_stub,
+        schema="doc_id long, media_type string, dec_width int, dec_height int, "
+        "features array<double>",
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "dec_width",
+        "dec_height",
+        F.round(F.element_at("features", 2), 4).alias("brightness"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    family="training-data: frame-sampling plan over media (explode deterministic frame indices)",
+    oracle=None,
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling: JVM-side index synthesis (sequence +
+    explode); the per-frame decode would run in the same decode stub."""
+    media = synthesize_media(spark, sf)
+    n_frames = (F.col("width") * F.col("height") % 7 + 1).cast("int")
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames - 1),
+                    lambda i: i * F.lit(10) + F.pmod(F.col("doc_id"), F.lit(10)),
+                )
+            ).alias("frame_idx"),
+        )
+    )

@@ -219,6 +219,38 @@ def join_disjunctive_split(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# ------------------------------------------------------------------- J5
+
+
+@register(
+    "cross_join_scalar",
+    family="J5 cross join with 1-row side (ref st_waveform_poc_1.sql:175,201) — auto-broadcast",
+    oracle="""
+WITH g AS (
+  SELECT sum(cast(round(value * 100) AS BIGINT)) * 1.0 / count(*) AS gavg_c
+  FROM events
+)
+SELECT e.event_type AS event_type, count(*) AS n_above
+FROM events e CROSS JOIN g
+WHERE cast(round(e.value * 100) AS BIGINT) > g.gavg_c
+GROUP BY 1
+""",
+)
+def cross_join_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    g = e.agg(
+        (
+            F.sum(_cents("value")) * 1.0 / F.count(F.lit(1))
+        ).alias("gavg_c")
+    )
+    return (
+        e.crossJoin(F.broadcast(g))
+        .filter(_cents("value") > F.col("gavg_c"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
 # ------------------------------------------------------------------- J7
 
 

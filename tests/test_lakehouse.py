@@ -1,0 +1,172 @@
+"""Lakehouse unit coverage: schema evolution/widening, time travel,
+commit conflicts, maintenance (compaction, snapshot expiry, tombstone GC)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mimic_spark.lakehouse.maintenance import compact, expire_snapshots
+from mimic_spark.lakehouse.merge import merge_into
+from mimic_spark.lakehouse.table import (
+    CommitConflict,
+    SnapshotTable,
+    evolve_schema,
+    widen_type,
+)
+from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
+from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+
+
+def test_widen_type_rules():
+    assert widen_type(T.IntegerType(), T.LongType()) == T.LongType()
+    assert widen_type(T.ShortType(), T.IntegerType()) == T.IntegerType()
+    assert widen_type(T.FloatType(), T.DoubleType()) == T.DoubleType()
+    assert widen_type(T.LongType(), T.DoubleType()) == T.DoubleType()
+    assert widen_type(T.DateType(), T.TimestampType()) == T.TimestampType()
+    with pytest.raises(TypeError):
+        widen_type(T.StringType(), T.LongType())
+
+
+def test_evolve_schema_add_and_widen():
+    cur = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    inc = T.StructType(
+        [
+            T.StructField("v", T.LongType(), True),
+            T.StructField("extra", T.StringType(), True),
+        ]
+    )
+    out = evolve_schema(cur, inc)
+    assert [f.name for f in out.fields] == ["k", "v", "extra"]
+    assert out["v"].dataType == T.LongType()
+
+
+def test_type_widening_through_merge(spark, tmp_table_dir):
+    """Old files written as int read back widened after a long-typed batch."""
+    path = os.path.join(tmp_table_dir, "widen_tbl")
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("score", T.IntegerType(), True),
+        ]
+    )
+    t = SnapshotTable.create(spark, path, schema, ["conv_id", "turn_idx"], 4)
+    b1 = spark.createDataFrame(
+        [("a", 0, "insert", 1, 10), ("a", 1, "insert", 2, 20)],
+        "conv_id string, turn_idx int, op string, lsn long, score int",
+    )
+    merge_into(t, b1, batch_id=0)
+    b2 = spark.createDataFrame(
+        [("a", 2, "insert", 3, 2**40)],
+        "conv_id string, turn_idx int, op string, lsn long, score long",
+    )
+    merge_into(t, b2, batch_id=1)
+    assert t.schema()["score"].dataType == T.LongType()
+    vals = {
+        (r["conv_id"], r["turn_idx"]): r["score"] for r in t.read().collect()
+    }
+    assert vals[("a", 0)] == 10 and vals[("a", 2)] == 2**40
+
+
+def test_time_travel_and_commit_conflict(spark, tmp_table_dir):
+    path = os.path.join(tmp_table_dir, "tt_tbl")
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("x", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(spark, path, schema, ["conv_id", "turn_idx"], 2)
+    t.append(spark.createDataFrame([("a", 0, 1)], schema))
+    t.append(spark.createDataFrame([("a", 1, 2)], schema))
+    assert t.read(version=1).count() == 1
+    assert t.read(version=2).count() == 2
+    # two writers racing on the same base version: one must get CommitConflict
+    base = t.snapshot()
+    t.commit(base=base, op="a", files=base.files)
+    with pytest.raises(CommitConflict):
+        t.commit(base=base, op="b", files=base.files)
+
+
+def test_compaction_and_expiry(spark, tmp_table_dir):
+    spec = ChangelogSpec(n_events=3000, n_convs=80, n_chunks=5)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "changelog")
+    )
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "transcripts"), n_buckets=8)
+    run_batched(spark, cdc, chunks)
+    t = cdc.table
+    before_rows = sorted(
+        tuple(r) for r in cdc.read_published().select("conv_id", "turn_idx", "text").collect()
+    )
+    # COW replaces whole buckets, so the data table holds <=1 file/bucket;
+    # the append-only metrics table is what accretes files per batch
+    assert len(t.snapshot().files) <= t.n_buckets
+    assert len(cdc.metrics.snapshot().files) >= len(chunks)
+    mrows = cdc.metrics.read().count()
+    mres = compact(cdc.metrics)
+    assert mres["files_after"] == 1
+    assert cdc.metrics.read().count() == mrows
+
+    wm = cdc.high_watermark()
+    res = compact(t, gc_tombstones_below=wm)
+    assert res["files_after"] <= t.n_buckets
+    assert res["tombstones_dropped"] > 0
+    after_rows = sorted(
+        tuple(r) for r in cdc.read_published().select("conv_id", "turn_idx", "text").collect()
+    )
+    assert after_rows == before_rows  # published data unchanged
+
+    exp = expire_snapshots(t, keep_last=1)
+    assert exp["expired_snapshots"] > 0
+    assert exp["removed_data_files"] > 0
+    # latest snapshot still fully readable after expiry
+    again = sorted(
+        tuple(r) for r in cdc.read_published().select("conv_id", "turn_idx", "text").collect()
+    )
+    assert again == before_rows
+    # expired versions are gone
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(0)
+
+
+def test_multimodal_plumbing(spark):
+    from mimic_spark.operators import OPS
+
+    sf = "/root/testdata/sf0.001"
+    df = OPS["multimodal_decode_features"].fn(spark, sf)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 500
+    r0 = rows[0]
+    assert r0["dec_width"] == 0 % 640 + 16 and r0["dec_height"] == 16
+    assert 0.0 <= r0["brightness"] <= 1.0
+    # deterministic across runs
+    rows2 = {r["doc_id"]: r for r in OPS["multimodal_decode_features"].fn(spark, sf).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in rows2.items()
+    }
+    frames = OPS["multimodal_frame_sample"].fn(spark, sf)
+    assert frames.count() > 0
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_salted_rollup_plan_and_no_row_python(spark):
+    from mimic_spark.operators import OPS
+
+    sf = "/root/testdata/sf0.001"
+    df = OPS["skew_salted_rollup"].fn(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # two-phase: two HashAggregate pairs (partial+final per phase)
+    assert plan.count("HashAggregate") >= 4
