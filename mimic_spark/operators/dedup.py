@@ -105,8 +105,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     (d,) = load_tables(spark, sf, "documents")
     sh = _shingles(d).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # lossless prune: a shingle held by a single doc can never produce a
+    # pair — drop it before the quadratic self-join (set sizes for the
+    # Jaccard denominator still use the unpruned counts above)
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("shingle")
+    )
+    sh_shared = sh.join(shared, "shingle")
+    a = sh_shared.alias("a")
+    b = sh_shared.alias("b")
     common = (
         a.join(
             b,

@@ -487,6 +487,63 @@ def global_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- §2.7 (∅ rows)
+
+
+@register(
+    "set_intersect_except",
+    family="§2.7 INTERSECT/EXCEPT (unused by the reference — ∅ rows covered for completeness)",
+    oracle="""
+SELECT 'both' AS which, count(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'click_only' AS which, count(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+""",
+)
+def set_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(buys).agg(
+        F.lit("both").alias("which"), F.count(F.lit(1)).alias("n")
+    )
+    only = clicks.exceptAll(buys).agg(
+        F.lit("click_only").alias("which"), F.count(F.lit(1)).alias("n")
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "pivot_event_matrix",
+    family="pivot/unpivot (beyond reference: ∅ there; standard OLAP reshaping)",
+    oracle="""
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
 # ------------------------------------------------------------------- §2.8
 
 

@@ -88,3 +88,62 @@ def test_windowed_watermark_metrics(spark, tmp_table_dir):
     assert rows["n"] == len(gen_events_py(SPEC))
     assert rows["lo"] == 0 and rows["hi"] == SPEC.n_events - 1
     spark.catalog.dropTempView("rate_metrics")
+
+
+def test_stateful_conversation_progress(spark, tmp_table_dir):
+    """applyInPandasWithState keyed state across micro-batches equals the
+    batch groupBy over the whole changelog."""
+    import pyspark.sql.functions as F
+
+    from mimic_spark.streaming.cdc import CHANGELOG_SCHEMA
+    from mimic_spark.streaming.stateful import conversation_progress
+
+    spec = ChangelogSpec(n_events=3000, n_convs=60, n_chunks=4)
+    write_changelog_chunks(spark, spec, os.path.join(tmp_table_dir, "changelog"))
+    glob = os.path.join(tmp_table_dir, "changelog", "chunk-*")
+
+    stream = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(glob)
+    )
+    q = (
+        conversation_progress(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_progress")
+        .option("checkpointLocation", os.path.join(tmp_table_dir, "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # memory sink in update mode appends each emitted update; the LAST row
+    # per conv_id is the final state
+    got = {
+        r["conv_id"]: r
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY conv_id
+                            ORDER BY n_events DESC) AS rn FROM conv_progress
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["conv_id"]: r
+        for r in spark.read.schema(CHANGELOG_SCHEMA)
+        .parquet(glob)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lsn").alias("max_lsn"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_deletes"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("n_events", "max_lsn", "last_ts", "n_deletes"):
+            assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])
+    spark.catalog.dropTempView("conv_progress")
