@@ -54,6 +54,7 @@ INTERNAL_COLS = ("_lsn", "_deleted")
 class MergeResult:
     skipped: bool = False
     version: int | None = None
+    mode: str = "cow"
     inserts: int = 0
     updates: int = 0
     deletes: int = 0
@@ -63,6 +64,12 @@ class MergeResult:
     lsn_lo: int | None = None
     lsn_hi: int | None = None
     affected_buckets: list[int] = field(default_factory=list)
+
+    @property
+    def rows_applied(self) -> int:
+        if self.mode == "mor":
+            return self.rows_written
+        return self.inserts + self.updates + self.deletes
 
 
 def _internal_fields() -> list[T.StructField]:
@@ -92,19 +99,35 @@ def merge_into(
     extra_props: dict[str, Any] | None = None,
     max_retries: int = 2,
     affected_buckets: list[int] | None = None,
+    mode: str = "cow",
 ) -> MergeResult:
     """Apply one deduped change-batch to the table. Idempotent per batch_id.
 
     affected_buckets: pass the source's bucket list when the caller already
     knows it (the apply layer derives it from the lineage pre-agg) to skip
     the distinct scan here.
+
+    mode:
+    - "cow" (copy-on-write): join against affected buckets and rewrite them.
+      Read-optimal; write cost O(touched target data).  Preserves columns the
+      source doesn't carry.
+    - "mor" (merge-on-read): append the deduped batch as delta files — write
+      cost O(batch), no target join; reads resolve max-LSN per key until the
+      next compaction (lakehouse.maintenance.compact folds deltas down).
+      Full-row replacement semantics (standard CDC upsert).  The write-heavy
+      half of the Iceberg/Hudi COW-vs-MOR trade, for hot streams.
     """
     for attempt in range(max_retries + 1):
         base = table.snapshot()
         last = base.props.get("last_batch_id")
         if batch_id is not None and last is not None and batch_id <= int(last):
-            return MergeResult(skipped=True, version=base.version)
+            return MergeResult(skipped=True, version=base.version, mode=mode)
         try:
+            if mode == "mor":
+                return _merge_mor(
+                    table, source, base, lsn_col, op_col, delete_op,
+                    batch_id, extra_props,
+                )
             return _merge_once(
                 table, source, base, lsn_col, op_col, delete_op, insert_op,
                 batch_id, extra_props, affected_buckets,
@@ -267,4 +290,89 @@ def _merge_once(
         lsn_lo=None if m["lsn_lo"] is None else int(m["lsn_lo"]),
         lsn_hi=None if m["lsn_hi"] is None else int(m["lsn_hi"]),
         affected_buckets=affected,
+    )
+
+
+def _merge_mor(
+    table: SnapshotTable,
+    source: DataFrame,
+    base,
+    lsn_col: str,
+    op_col: str,
+    delete_op: str,
+    batch_id: int | None,
+    extra_props: dict[str, Any] | None,
+) -> MergeResult:
+    """Append-only delta write: project the deduped batch to the table schema
+    (tombstoning deletes) and commit the files with delta=True.  No target
+    scan, no join — write cost is O(batch)."""
+    keys = table.key_cols
+    payload_cols = [c for c in source.columns if c not in (*keys, lsn_col, op_col)]
+    incoming = T.StructType(
+        [f for f in source.schema.fields if f.name in (*keys, *payload_cols)]
+    )
+    new_schema = ensure_internal_schema(evolve_schema(base.schema, incoming))
+
+    is_del = F.col(op_col) == F.lit(delete_op)
+    cols = []
+    for f in new_schema.fields:
+        if f.name in keys:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.name == "_lsn":
+            cols.append(F.col(lsn_col).cast("long").alias("_lsn"))
+        elif f.name == "_deleted":
+            cols.append(is_del.alias("_deleted"))
+        elif f.name in payload_cols:
+            cols.append(
+                F.when(is_del, F.lit(None).cast(f.dataType))
+                .otherwise(F.col(f.name).cast(f.dataType))
+                .alias(f.name)
+            )
+        else:  # column the source doesn't carry: full-row replacement -> NULL
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+
+    obs = Observation(f"mor-{base.version + 1}")
+    projected = source.select(*cols, F.col(lsn_col).alias("_src_lsn")).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes"),
+        F.min("_src_lsn").alias("lsn_lo"),
+        F.max("_src_lsn").alias("lsn_hi"),
+    ).drop("_src_lsn")
+
+    new_files = table.write_data_files(projected, base.version + 1)
+    sid = base.schema_id if new_schema == base.schema else max(base.schemas) + 1
+    for fe in new_files:
+        fe["schema_id"] = sid
+        fe["delta"] = True
+
+    m = obs.get
+    props: dict[str, Any] = dict(extra_props or {})
+    if batch_id is not None:
+        props["last_batch_id"] = batch_id
+    if m.get("lsn_hi") is not None:
+        prev_hi = base.props.get("lsn_hi")
+        props["lsn_hi"] = (
+            max(int(m["lsn_hi"]), int(prev_hi))
+            if prev_hi is not None
+            else int(m["lsn_hi"])
+        )
+    snap = table.commit(
+        base=base,
+        op="merge-mor",
+        files=base.files + new_files,
+        schema=new_schema,
+        props_update=props,
+    )
+    rows = int(m["rows_written"] or 0)
+    dels = int(m["deletes"] or 0)
+    return MergeResult(
+        skipped=False,
+        version=snap.version,
+        mode="mor",
+        deletes=dels,
+        rows_written=rows,
+        lsn_lo=None if m["lsn_lo"] is None else int(m["lsn_lo"]),
+        lsn_hi=None if m["lsn_hi"] is None else int(m["lsn_hi"]),
+        affected_buckets=sorted({fe["bucket"] for fe in new_files}),
     )

@@ -240,11 +240,17 @@ class SnapshotTable:
         self,
         version: int | None = None,
         buckets: list[int] | None = None,
+        resolve: bool = True,
     ) -> DataFrame:
         """Current (or pinned) snapshot as a DataFrame, schema-aligned.
 
         Old files written under earlier schemas are aligned to the snapshot
         schema (missing columns -> typed NULL, widened types -> cast).
+
+        Merge-on-read: when the snapshot contains delta files (appended by
+        MoR merges instead of rewriting buckets), the read resolves each key
+        to its highest-``_lsn`` row (Iceberg/Hudi MoR semantics).  Tombstones
+        survive resolution; published readers filter ``_deleted``.
         """
         snap = self.snapshot(version)
         files = snap.files
@@ -265,7 +271,24 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if resolve and any(f.get("delta") for f in files):
+            out = self._resolve_mor(out, snap.schema)
         return out
+
+    def _resolve_mor(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Latest row per key by _lsn (ties are duplicate deliveries —
+        identical rows — so any winner is correct)."""
+        from pyspark.sql import Window as W
+
+        names = {f.name for f in schema.fields}
+        if "_lsn" not in names:
+            return df
+        w = W.partitionBy(*self.key_cols).orderBy(F.col("_lsn").desc())
+        return (
+            df.withColumn("_mor_rn", F.row_number().over(w))
+            .filter(F.col("_mor_rn") == 1)
+            .drop("_mor_rn")
+        )
 
     # ---------- write ----------
 

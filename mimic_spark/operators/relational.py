@@ -39,7 +39,13 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash agg."""
     (li,) = load_tables(spark, sf, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        # parquet timestamps are NTZ in Spark 4; an NTZ literal keeps the
+        # comparison session-timezone-independent (a plain `timestamp` literal
+        # would coerce through the session TZ)
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_cents("l_quantity")).alias("sum_qty_c"),

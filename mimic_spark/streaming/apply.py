@@ -104,12 +104,20 @@ class TranscriptCdc:
         n_buckets: int = 32,
         run_id: str | None = None,
         normalize_col: str = "text",
+        mode: str = "cow",
+        compact_every: int = 8,
     ):
+        """mode: 'cow' (join + rewrite buckets) or 'mor' (append deltas,
+        resolve on read; auto-compacted every `compact_every` batches —
+        bounds read amplification, like Iceberg MoR maintenance)."""
         self.spark = spark
         self.table_path = table_path.rstrip("/")
         self.n_buckets = n_buckets
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.normalize_col = normalize_col
+        self.mode = mode
+        self.compact_every = compact_every
+        self._mor_batches = 0
         self._open_tables()
 
     def _open_tables(self) -> None:
@@ -166,9 +174,19 @@ class TranscriptCdc:
         lineage_rows = lineage.collect()
         affected = sorted(r["_bucket"] for r in lineage_rows)
         result = merge_into(
-            self.table, deduped, batch_id=batch_id, affected_buckets=affected
+            self.table,
+            deduped,
+            batch_id=batch_id,
+            affected_buckets=affected,
+            mode=self.mode,
         )
         self._record(batch_id, result, lineage_rows)
+        if result.mode == "mor" and not result.skipped:
+            self._mor_batches += 1
+            if self.compact_every and self._mor_batches % self.compact_every == 0:
+                from mimic_spark.lakehouse.maintenance import compact
+
+                compact(self.table)
         return result
 
     def _record(self, batch_id: int, result: MergeResult, lineage_rows) -> None:
@@ -194,7 +212,7 @@ class TranscriptCdc:
                     int(batch_id),
                     result.lsn_lo,
                     result.lsn_hi,
-                    int(result.inserts + result.updates + result.deletes),
+                    int(result.rows_applied),
                     False,
                     None,
                 )

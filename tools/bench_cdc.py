@@ -30,6 +30,7 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/mimic_spark_bench")
     ap.add_argument("--files-per-chunk", type=int, default=32)
     ap.add_argument("--body-words", type=int, default=48)
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     args = ap.parse_args()
 
     from mimic_spark.session import get_spark
@@ -66,12 +67,12 @@ def main() -> int:
         os.path.join(changelog, f"chunk-{c:05d}") for c in range(spec.n_chunks)
     ]
 
-    table = os.path.join(args.workdir, f"transcripts_p{args.parallelism}")
+    table = os.path.join(args.workdir, f"transcripts_{args.mode}_p{args.parallelism}")
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(table + "_commits", ignore_errors=True)
     shutil.rmtree(table + "_metrics", ignore_errors=True)
 
-    cdc = TranscriptCdc(spark, table, n_buckets=args.n_buckets)
+    cdc = TranscriptCdc(spark, table, n_buckets=args.n_buckets, mode=args.mode, compact_every=8)
     t0 = time.time()
     results = run_batched(spark, cdc, chunks)
     dt = time.time() - t0
@@ -80,6 +81,7 @@ def main() -> int:
         json.dumps(
             {
                 "parallelism": args.parallelism,
+                "mode": args.mode,
                 "n_events": args.n_events,
                 "apply_sec": round(dt, 2),
                 "events_per_sec": round(args.n_events / dt, 1),
