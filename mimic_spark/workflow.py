@@ -1,0 +1,181 @@
+"""Config-driven workflow runner — the reference's orchestrator, Spark-first.
+
+The reference's `scripts/run_workflow.py` reads a JSON etlconf, merges
+per-workflow confs and `--set @k=v` pairs, substitutes `@variables`
+longest-match-first, then executes each workflow either as a SQL script list
+against one DuckDB connection or as a Python subprocess
+(run_workflow.py:88-110; duckdb_run_script.py:144-213).  Same contract here,
+with Spark as the engine:
+
+- step `type: "sql"`   — a list of SQL texts (or file paths); each text is
+  variable-substituted, split into statements (paren-depth-aware `;`,
+  `--` comments stripped — the reference's split_queries), and run via
+  `spark.sql`.  The last statement's DataFrame may be registered as a view
+  (`register:` key) for downstream steps.
+- step `type: "py"`    — a dotted `callable` (module:function) invoked with
+  (spark, conf) — replaces the reference's subprocess boundary with an
+  in-process call (no process fork needed on Spark; executors are the
+  parallelism boundary).
+- step `type: "ingest"`— DDL-driven CSV loads (sources/csv_ingest).
+- step `type: "cdc"`   — the transcript CDC apply (batch or stream mode).
+- step `type: "audit"` — the audit gate; failure aborts the workflow
+  (reference's forced-cast-error abort, post_etl_audit.sql:456-499).
+"""
+
+from __future__ import annotations
+
+import importlib
+import logging
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mimic_spark.config import merge_config, substitute_variables
+
+log = logging.getLogger(__name__)
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a SQL script on top-level ';', stripping `--` comment lines
+    (reference: duckdb_run_script.py:54-72)."""
+    lines = []
+    for line in text.splitlines():
+        stripped = line.lstrip()
+        if stripped.startswith("--"):
+            continue
+        lines.append(line)
+    body = "\n".join(lines)
+    out, cur, depth, in_str = [], [], 0, None
+    for ch in body:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+            continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+class Workflow:
+    def __init__(self, spark: SparkSession, conf: dict[str, Any]):
+        self.spark = spark
+        self.conf = conf
+        self.variables: dict[str, Any] = dict(conf.get("variables", {}))
+        self.results: list[dict[str, Any]] = []
+
+    def _sub(self, text: str) -> str:
+        return substitute_variables(text, self.variables)
+
+    def run(self) -> list[dict[str, Any]]:
+        for i, step in enumerate(self.conf.get("steps", [])):
+            kind = step.get("type", "sql")
+            name = step.get("name", f"step_{i}")
+            log.info("workflow step %s (%s)", name, kind)
+            fn = getattr(self, f"_run_{kind}", None)
+            if fn is None:
+                raise ValueError(f"unknown step type: {kind!r}")
+            out = fn(step)
+            self.results.append({"name": name, "type": kind, "result": out})
+        return self.results
+
+    # ------------------------------------------------------------- steps
+
+    def _run_sql(self, step: dict) -> dict:
+        n = 0
+        last: DataFrame | None = None
+        for script in step["scripts"]:
+            text = script
+            if isinstance(script, str) and script.endswith(".sql"):
+                with open(script) as f:
+                    text = f.read()
+            for stmt in split_statements(self._sub(text)):
+                last = self.spark.sql(stmt)
+                n += 1
+        if step.get("register") and last is not None:
+            last.createOrReplaceTempView(step["register"])
+        return {"statements": n}
+
+    def _run_py(self, step: dict) -> Any:
+        mod_name, _, fn_name = step["callable"].partition(":")
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        return fn(self.spark, merge_config(self.conf, step.get("conf", {})))
+
+    def _run_ingest(self, step: dict) -> dict:
+        from mimic_spark.sources.csv_ingest import (
+            IngestRegistry,
+            ingest_csv_table,
+            parse_ddl,
+        )
+
+        with open(self._sub(step["ddl"])) as f:
+            schemas = parse_ddl(f.read())
+        target = self._sub(step["target_dir"])
+        registry = IngestRegistry(target)
+        loaded = {}
+        for table, csv_path in step["tables"].items():
+            loaded[table] = ingest_csv_table(
+                self.spark,
+                self._sub(csv_path),
+                schemas[table],
+                target,
+                table,
+                on_exists=step.get("on_exists", "replace"),
+                limit=step.get("limit"),
+                registry=registry,
+            )
+        return loaded
+
+    def _run_cdc(self, step: dict) -> dict:
+        from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+        from mimic_spark.streaming.cdc import run_stream
+
+        table = self._sub(step["table"])
+        if step.get("mode", "batch") == "stream":
+            cdc = run_stream(
+                self.spark,
+                self._sub(step["changelog"]),
+                table,
+                self._sub(step["checkpoint"]),
+                n_buckets=int(step.get("n_buckets", 32)),
+            )
+        else:
+            cdc = TranscriptCdc(
+                self.spark,
+                table,
+                n_buckets=int(step.get("n_buckets", 32)),
+                mode=step.get("merge_mode", "cow"),
+            )
+            run_batched(self.spark, cdc, step["chunks"])
+        self._last_cdc = cdc
+        if step.get("register"):
+            cdc.read_published().createOrReplaceTempView(step["register"])
+        return {"watermark": cdc.high_watermark(), "version": cdc.table.latest_version()}
+
+    def _run_audit(self, step: dict) -> dict:
+        from mimic_spark.streaming.audit import run_audit
+
+        rep = run_audit(
+            self._last_cdc,
+            expected_final_count=step.get("expected_final_count"),
+            fail_on_error=step.get("fail_on_error", True),
+        )
+        return rep.checks
+
+
+def run_workflow(spark: SparkSession, conf: dict[str, Any]) -> list[dict[str, Any]]:
+    return Workflow(spark, conf).run()

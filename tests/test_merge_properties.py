@@ -1,0 +1,143 @@
+"""Property-based merge semantics: random changelogs vs the sequential oracle.
+
+hypothesis generates op sequences over a tiny keyspace (maximizing
+insert/update/delete collisions), permutes delivery order, injects exact
+duplicate deliveries, and splits delivery into arbitrary batches.  The final
+table must equal the LSN-ordered sequential replay regardless — for both COW
+and MoR modes.  (The reference's analog is its determinism suite; this is the
+§5 carry-over strengthened with randomized inputs.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from mimic_spark.lakehouse.merge import ensure_internal_schema, merge_into
+from mimic_spark.lakehouse.table import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+BATCH_SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, text string"
+)
+
+
+@st.composite
+def changelog(draw):
+    n = draw(st.integers(min_value=1, max_value=24))
+    events = []
+    for lsn in range(n):
+        conv = draw(st.integers(min_value=0, max_value=2))
+        turn = draw(st.integers(min_value=0, max_value=2))
+        op = draw(st.sampled_from(["insert", "update", "delete"]))
+        events.append(
+            {
+                "lsn": lsn,
+                "op": op,
+                "conv_id": f"c{conv}",
+                "turn_idx": turn,
+                "text": None if op == "delete" else f"payload-{lsn}",
+            }
+        )
+    delivery = draw(st.permutations(events))
+    # exact duplicate deliveries of a few events
+    dups = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=len(delivery) - 1),
+            max_size=3,
+        )
+    )
+    for i in sorted(dups, reverse=True):
+        delivery.insert(i, dict(delivery[i]))
+    # split into 1..4 batches
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(delivery)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(delivery)]:
+        batches.append(delivery[prev:c])
+        prev = c
+    return events, batches
+
+
+def oracle_state(events):
+    state = {}
+    for ev in sorted(events, key=lambda e: e["lsn"]):
+        k = (ev["conv_id"], ev["turn_idx"])
+        cur = state.get(k)
+        if cur is not None and ev["lsn"] < cur["lsn"]:
+            continue
+        state[k] = ev
+    return {
+        k: v["text"]
+        for k, v in state.items()
+        if v["op"] != "delete"
+    }
+
+
+def run_engine(spark, batches, mode: str):
+    from mimic_spark.streaming.apply import dedup_batch
+
+    d = tempfile.mkdtemp(prefix="hyp_merge_")
+    try:
+        t = SnapshotTable.create(
+            spark,
+            os.path.join(d, "t"),
+            ensure_internal_schema(SCHEMA),
+            ["conv_id", "turn_idx"],
+            n_buckets=4,
+        )
+        for i, batch in enumerate(batches):
+            if not batch:
+                continue
+            df = spark.createDataFrame(
+                [
+                    (e["lsn"], e["op"], e["conv_id"], e["turn_idx"], e["text"])
+                    for e in batch
+                ],
+                BATCH_SCHEMA,
+            )
+            merge_into(t, dedup_batch(df), batch_id=i, mode=mode)
+        import pyspark.sql.functions as F
+
+        rows = (
+            t.read()
+            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .select("conv_id", "turn_idx", "text")
+            .collect()
+        )
+        return {(r["conv_id"], r["turn_idx"]): r["text"] for r in rows}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=changelog())
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_equals_sequential_replay(spark, mode, data):
+    events, batches = data
+    assert run_engine(spark, batches, mode) == oracle_state(events)

@@ -1,0 +1,92 @@
+"""Workflow runner: SQL steps (split/substitution), ingest, cdc, audit gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
+from mimic_spark.streaming.audit import AuditError
+from mimic_spark.workflow import run_workflow, split_statements
+
+
+def test_split_statements():
+    sql = """
+-- a comment line; with a semicolon
+CREATE OR REPLACE TEMP VIEW v AS SELECT 1 AS a; -- trailing
+SELECT a, ';' AS semi, concat(a, ';') FROM v WHERE a IN (1, 2);
+SELECT 2
+"""
+    stmts = split_statements(sql)
+    assert len(stmts) == 3
+    assert stmts[0].startswith("CREATE OR REPLACE TEMP VIEW")
+    assert "';'" in stmts[1]  # semicolons inside strings survive
+    assert stmts[2] == "SELECT 2"
+
+
+def test_workflow_end_to_end(spark, tmp_table_dir):
+    spec = ChangelogSpec(n_events=2000, n_convs=50, n_chunks=3)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "changelog")
+    )
+    csv_path = os.path.join(tmp_table_dir, "dim.csv")
+    with open(csv_path, "w") as f:
+        f.write("role_id,role\n0,system\n1,user\n2,assistant\n3,tool\n")
+    ddl_path = os.path.join(tmp_table_dir, "dim.sql")
+    with open(ddl_path, "w") as f:
+        f.write("CREATE TABLE roles (role_id INTEGER, role VARCHAR(16));")
+
+    conf = {
+        "variables": {"base": tmp_table_dir, "table": "@base/transcripts"},
+        "steps": [
+            {
+                "name": "load_dims",
+                "type": "ingest",
+                "ddl": ddl_path,
+                "target_dir": os.path.join(tmp_table_dir, "dims"),
+                "tables": {"roles": csv_path},
+            },
+            {
+                "name": "apply_cdc",
+                "type": "cdc",
+                "table": "@table",
+                "chunks": chunks,
+                "register": "transcripts",
+            },
+            {
+                "name": "rollup",
+                "type": "sql",
+                "scripts": [
+                    """
+-- per-role turn counts joined to the ingested dim
+CREATE OR REPLACE TEMP VIEW roles_v AS
+  SELECT * FROM parquet.`@base/dims/roles`;
+SELECT r.role_id AS role_id, t.role AS role, count(*) AS n
+FROM transcripts t JOIN roles_v r ON t.role = r.role
+GROUP BY r.role_id, t.role;
+"""
+                ],
+                "register": "role_rollup",
+            },
+            {"name": "gate", "type": "audit"},
+        ],
+    }
+    results = run_workflow(spark, conf)
+    assert [r["name"] for r in results] == [
+        "load_dims", "apply_cdc", "rollup", "gate",
+    ]
+    assert results[0]["result"]["roles"] == 4
+    assert results[1]["result"]["watermark"] == spec.n_events - 1
+    rollup = {r["role"]: r["n"] for r in spark.table("role_rollup").collect()}
+    assert set(rollup) <= {"system", "user", "assistant", "tool"}
+    assert sum(rollup.values()) == spark.table("transcripts").count()
+    assert results[3]["result"]["key_uniqueness"]["ok"]
+
+    # the audit step gates: impossible expectation aborts the workflow
+    conf_bad = dict(conf)
+    conf_bad["steps"] = conf["steps"][:3] + [
+        {"name": "gate", "type": "audit", "expected_final_count": -1}
+    ]
+    with pytest.raises(AuditError):
+        run_workflow(spark, conf_bad)
