@@ -162,3 +162,108 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         .filter(f"rn <= {TOP_K}")
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+COSINE_DUP_THRESHOLD = 0.45  # synthetic embeddings are near-uniform; real
+# corpora use ~0.95 — the threshold is a parameter, the plan is the point
+
+
+@register(
+    "dedup_embedding_cosine",
+    family="training-data: embedding-cosine near-dup pairs (exact; scale path = LSH buckets of ann_lsh_bucketed)",
+    oracle=f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs cosine near-dup detection.  Exact O(n^2) here (the oracle
+    must be SQL-checkable); at corpus scale the candidate set comes from the
+    hyperplane buckets (ann_lsh_bucketed) or IVF cells (ann_ivf_probe) and
+    only candidates are rescored — same rescore expression."""
+    (e,) = load_tables(spark, sf, "embeddings")
+    e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4
+    )
+    return (
+        pairs.select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+N_IVF_CELLS = 8
+N_IVF_PROBES = 3
+
+
+@register(
+    "ann_ivf_probe",
+    family="training-data: IVF-style ANN (deterministic seed centroids -> cell assignment -> multi-probe rescore)",
+    oracle=None,  # centroid choice is engine-side; pytest asserts recall vs
+    # brute force and determinism
+)
+def ann_ivf_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-file ANN: cells = nearest of K centroids; queries probe the
+    nearest P cells and rescore exactly.
+
+    Centroids are the first K corpus vectors (deterministic seeds — a k-means
+    refinement is a drop-in; cell assignment/probing/rescore are the plan
+    under test).  The centroid table is tiny and broadcast; assignment is a
+    broadcast join + argmin, so the corpus never shuffles by similarity."""
+    from pyspark.sql import Window as W
+
+    (e,) = load_tables(spark, sf, "embeddings")
+    e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = (
+        e.filter(F.col("vec_id") < N_IVF_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+
+    def best_cells(df, vcol, out, keep):
+        scored = df.join(F.broadcast(cents)).select(
+            *df.columns,
+            F.col("cell"),
+            (
+                _dot(F.col(vcol), F.col("cv"))
+                / (_norm(F.col(vcol)) * _norm(F.col("cv")))
+            ).alias("csim"),
+        )
+        w = W.partitionBy(*[c for c in df.columns if c != vcol] or [vcol]).orderBy(
+            F.col("csim").desc(), F.col("cell")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .select(*df.columns, F.col("cell").alias(out))
+        )
+
+    assigned = best_cells(e, "v", "cell", 1)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = best_cells(q, "qv", "probe_cell", N_IVF_PROBES)
+    cand = probes.join(
+        assigned,
+        (F.col("probe_cell") == F.col("cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            4,
+        ).alias("cos_sim"),
+    ).distinct()
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(f"rn <= {TOP_K}")
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
