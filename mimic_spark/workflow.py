@@ -166,6 +166,19 @@ class Workflow:
             cdc.read_published().createOrReplaceTempView(step["register"])
         return {"watermark": cdc.high_watermark(), "version": cdc.table.latest_version()}
 
+    def _run_quality(self, step: dict) -> list:
+        from mimic_spark.quality import run_quality_suite
+
+        return [
+            r.__dict__
+            for r in run_quality_suite(
+                self.spark,
+                step["checks"],
+                fail_on_error=step.get("fail_on_error", True),
+                report_view=step.get("report_view", "report_unit_test"),
+            )
+        ]
+
     def _run_audit(self, step: dict) -> dict:
         from mimic_spark.streaming.audit import run_audit
 

@@ -1,0 +1,91 @@
+"""Failure-injection recovery: lost ledger writes, racing committers."""
+
+from __future__ import annotations
+
+import os
+
+from mimic_spark.lakehouse.table import SnapshotTable
+from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
+from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+
+SPEC = ChangelogSpec(n_events=2000, n_convs=50, n_chunks=3)
+
+
+def test_ledger_backfill_after_lost_append(spark, tmp_table_dir):
+    """Crash between the data commit and the ledger append: on replay the
+    merge skips (marker is atomic with data) and the ledger row is backfilled
+    with recovered=True — the documented healing path."""
+    chunks = write_changelog_chunks(
+        spark, SPEC, os.path.join(tmp_table_dir, "changelog")
+    )
+    table = os.path.join(tmp_table_dir, "transcripts")
+    cdc = TranscriptCdc(spark, table)
+    run_batched(spark, cdc, chunks)
+    rows_before = cdc.read_published().count()
+
+    # simulate the crash retroactively: wipe the ledger table entirely
+    # (data commits + markers survive; only the side ledger is lost)
+    import shutil
+
+    shutil.rmtree(table + "_commits")
+    cdc2 = TranscriptCdc(spark, table)  # re-open: fresh ledger
+    results = run_batched(spark, cdc2, chunks)  # replay everything
+    assert all(r.skipped for r in results)  # data markers made replay no-ops
+    ledger = {r["batch_id"]: r for r in cdc2.ledger.read().collect()}
+    assert sorted(ledger) == list(range(len(chunks)))
+    assert all(ledger[b]["recovered"] for b in ledger)
+    assert cdc2.read_published().count() == rows_before
+
+
+def test_merge_retries_past_racing_commit(spark, tmp_table_dir):
+    """A foreign commit racing the merge: merge_into hits CommitConflict,
+    reloads and lands on the next version."""
+    from pyspark.sql import types as T
+
+    from mimic_spark.lakehouse.merge import ensure_internal_schema, merge_into
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    path = os.path.join(tmp_table_dir, "race_tbl")
+    t = SnapshotTable.create(
+        spark, path, ensure_internal_schema(schema), ["conv_id", "turn_idx"], 2
+    )
+    # steal the version the merge will want (a racing writer's commit)
+    base = t.snapshot()
+    t.commit(base=base, op="foreign", files=base.files)
+
+    b = spark.createDataFrame(
+        [("a", 0, "insert", 1, "x")],
+        "conv_id string, turn_idx int, op string, lsn long, text string",
+    )
+
+    # make the first in-merge commit attempt collide, then let the retry win:
+    # pre-create the NEXT version file via a foreign commit mid-flight is
+    # hard to time deterministically, so instead assert the retry loop works
+    # when the base moved between snapshot() and commit: monkeypatch one
+    # conflict.
+    from mimic_spark.lakehouse import table as table_mod
+
+    real_commit = SnapshotTable.commit
+    state = {"raised": False}
+
+    def flaky_commit(self, **kw):
+        if not state["raised"]:
+            state["raised"] = True
+            raise table_mod.CommitConflict("injected")
+        return real_commit(self, **kw)
+
+    SnapshotTable.commit = flaky_commit
+    try:
+        res = merge_into(t, b, batch_id=0)
+    finally:
+        SnapshotTable.commit = real_commit
+    assert state["raised"]
+    assert not res.skipped and res.inserts == 1
+    live = t.read().collect()
+    assert len(live) == 1 and live[0]["text"] == "x"
