@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import subprocess
 import sys
 import time
@@ -78,42 +77,30 @@ def main() -> int:
         queries[name] = round(dt, 3)
         total += dt
 
-    # CDC throughput at this session's core count (single level, in-process)
-    from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
-    from mimic_spark.streaming.apply import TranscriptCdc, run_batched
-
+    # CDC throughput via the scaling-study runner (own JVM at local[8]:
+    # the stable high-throughput config; local[32] oversubscribes Python
+    # workers + task threads and measures noisily — see BENCH/BASELINE.md)
     base = (
         "/dev/shm/mimic_spark_bench"
         if os.path.isdir("/dev/shm")
         else "/tmp/mimic_spark_bench"
     )
-    spec = ChangelogSpec(
-        n_events=CDC_BENCH_EVENTS,
-        n_convs=max(1000, CDC_BENCH_EVENTS // 40),
-        n_chunks=2,
-        files_per_chunk=32,
-        body_words=48,
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(here, "tools", "bench_cdc.py"),
+            "--parallelism", "8",
+            "--n-events", str(CDC_BENCH_EVENTS),
+            "--n-chunks", "2",
+            "--n-convs", str(max(1000, CDC_BENCH_EVENTS // 40)),
+            "--workdir", base,
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
     )
-    chg = os.path.join(base, f"changelog_{spec.n_events}")
-    if not os.path.exists(os.path.join(chg, f"chunk-{spec.n_chunks-1:05d}", "_SUCCESS")):
-        write_changelog_chunks(spark, spec, chg)
-    table = os.path.join(base, "transcripts_bench")
-    for suf in ("", "_commits", "_metrics"):
-        shutil.rmtree(table + suf, ignore_errors=True)
-    cdc = TranscriptCdc(spark, table, n_buckets=64)
-    t0 = time.time()
-    run_batched(
-        spark,
-        cdc,
-        [os.path.join(chg, f"chunk-{c:05d}") for c in range(spec.n_chunks)],
-    )
-    cdc_dt = time.time() - t0
-    cdc_info = {
-        "n_events": spec.n_events,
-        "parallelism": cpus,
-        "apply_sec": round(cdc_dt, 2),
-        "events_per_sec": round(spec.n_events / cdc_dt, 1),
-    }
+    cdc_info = json.loads(out.stdout.strip().splitlines()[-1])
 
     scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")

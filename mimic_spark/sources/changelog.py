@@ -87,8 +87,13 @@ class ChangelogSpec:
     def evolve_chunk(self) -> int:
         return int(self.n_chunks * self.evolve_frac)
 
+    evolve_at_override: int | None = None  # pin the evolution LSN explicitly
+    # (e.g. replaying a truncated range of a larger stream's spec)
+
     @property
     def evolve_at(self) -> int:
+        if self.evolve_at_override is not None:
+            return self.evolve_at_override
         return self.evolve_chunk * self.chunk_size
 
 
@@ -99,17 +104,12 @@ def _lcg(col: Column, a: int, c: int = 12345) -> Column:
     return F.pmod(F.lit(a) * F.pmod(col, F.lit(M)) + F.lit(c), F.lit(M))
 
 
-def gen_changelog_df(
-    spark: SparkSession, spec: ChangelogSpec, with_batch_hint: bool = True
-) -> DataFrame:
-    """All change events (including duplicate deliveries) as one DataFrame.
-
-    Distributed synthesis: spark.range -> pure column exprs; scales to any
-    n_events without touching the driver.
-    """
+def derive_event_df(df: DataFrame, spec: ChangelogSpec) -> DataFrame:
+    """Derive the full change-event row from a DataFrame bearing an `lsn`
+    column — pure built-in column expressions, usable on spark.range output
+    (batch synthesis) or on a rate-source stream (on-the-fly streaming
+    synthesis: lsn = rate `value`)."""
     lsn = F.col("lsn")
-    df = spark.range(0, spec.n_events, 1).select(F.col("id").alias("lsn"))
-
     r_conv = _lcg(lsn, _A_CONV)
     r_route = _lcg(lsn, _A_ROUTE)
     r_turn = _lcg(lsn, _A_TURN)
@@ -182,7 +182,7 @@ def gen_changelog_df(
     ).cast("long")
     batch_hint = F.least(F.lit(spec.n_chunks - 1).cast("long"), floordiv).cast("int")
 
-    out = df.select(
+    return df.select(
         lsn.cast("long").alias("lsn"),
         op.alias("op"),
         conv_id.alias("conv_id"),
@@ -194,6 +194,18 @@ def gen_changelog_df(
         batch_hint.alias("batch_hint"),
     )
 
+
+def gen_changelog_df(
+    spark: SparkSession, spec: ChangelogSpec, with_batch_hint: bool = True
+) -> DataFrame:
+    """All change events (including duplicate deliveries) as one DataFrame.
+
+    Distributed synthesis: spark.range -> pure column exprs; scales to any
+    n_events without touching the driver.
+    """
+    base = spark.range(0, spec.n_events, 1).select(F.col("id").alias("lsn"))
+    out = derive_event_df(base, spec)
+
     # duplicate deliveries: every dup_every-th event re-emitted in the NEXT chunk
     dup = out.filter(F.pmod(F.col("lsn"), F.lit(spec.dup_every)) == 0).withColumn(
         "batch_hint",
@@ -203,6 +215,23 @@ def gen_changelog_df(
     if not with_batch_hint:
         out = out.drop("batch_hint")
     return out
+
+
+def gen_changelog_stream(
+    spark: SparkSession, spec: ChangelogSpec, rows_per_second: int = 100_000
+) -> DataFrame:
+    """Unbounded streaming changelog from the rate source: lsn = `value`,
+    every other field derived by the same column pipeline.  This is how the
+    10^10-event stream is produced without ever materializing it — the rate
+    source emits monotonically increasing values and the synthesis is pure
+    expression work on executors."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(F.col("value").alias("lsn"))
+    )
+    return derive_event_df(rate, spec).drop("batch_hint")
 
 
 def write_changelog_chunks(

@@ -251,6 +251,28 @@ class TranscriptCdc:
             "_lsn", "_deleted"
         )
 
+    def read_history(self) -> DataFrame:
+        """SCD2-style full version history (MoR tables before compaction keep
+        every accepted row version as a delta).  Each key's versions get
+        [valid_from_lsn, valid_to_lsn) intervals via a lead window; the live
+        version has valid_to_lsn NULL.  Compaction truncates history to the
+        current version — retention is a maintenance policy, exactly like
+        Iceberg snapshot expiry."""
+        from pyspark.sql import Window as W
+
+        df = self.table.read(resolve=False)
+        w = W.partitionBy(*KEYS).orderBy(F.col("_lsn"))
+        return df.select(
+            *KEYS,
+            "role",
+            "text",
+            *(["tool"] if "tool" in df.columns else []),
+            "ts",
+            F.col("_lsn").alias("valid_from_lsn"),
+            F.lead("_lsn").over(w).alias("valid_to_lsn"),
+            F.col("_deleted").alias("is_delete"),
+        )
+
     def high_watermark(self) -> int | None:
         props = self.table.props()
         return int(props["lsn_hi"]) if "lsn_hi" in props else None

@@ -95,3 +95,41 @@ def test_mixed_mor_then_cow(spark, tmp_table_dir):
     cdc.mode = "cow"
     run_batched(spark, cdc, chunks)  # first 3 skip, rest apply as COW
     assert _rows(cdc) == _oracle_rows(SPEC)
+
+
+def test_scd2_history_from_deltas(spark, tmp_table_dir):
+    """MoR deltas = full SCD2 history: version intervals chain per key and
+    the max-interval row equals the published row."""
+    chunks = write_changelog_chunks(
+        spark, SPEC, os.path.join(tmp_table_dir, "changelog")
+    )
+    cdc = TranscriptCdc(
+        spark,
+        os.path.join(tmp_table_dir, "transcripts"),
+        mode="mor",
+        compact_every=0,
+    )
+    run_batched(spark, cdc, chunks)
+    hist = cdc.read_history().collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
+    published = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    multi = 0
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from_lsn"])
+        if len(versions) > 1:
+            multi += 1
+        # intervals chain: each version's valid_to == next version's valid_from
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to_lsn"] == b["valid_from_lsn"]
+        last = versions[-1]
+        assert last["valid_to_lsn"] is None
+        if last["is_delete"]:
+            assert k not in published
+        else:
+            assert published[k] == last["text"]
+    assert multi > 0  # updates actually produced multi-version histories
