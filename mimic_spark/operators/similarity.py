@@ -7,8 +7,9 @@
 
 Dot products run JVM-side via zip_with/aggregate higher-order functions — no
 Python, no UDF.  At cluster scale the query side is small and broadcast; the
-corpus side streams. An IVF variant would replace the hyperplane buckets with
-k-means centroids — same join shape.
+corpus side streams.  Four variants: brute-force top-k (oracled baseline),
+hyperplane-LSH buckets, IVF cells (seed centroids), and all-pairs cosine
+near-dup (oracled) whose scale path is the LSH/IVF candidate generation.
 """
 
 from __future__ import annotations
