@@ -624,3 +624,101 @@ def deterministic_row_id_op(spark: SparkSession, sf: str) -> DataFrame:
         deterministic_row_id("o_orderkey", "o_custkey").alias("load_row_id"),
         trace_id(orderkey="o_orderkey", custkey="o_custkey").alias("trace_id"),
     )
+
+
+@register(
+    "cube_rollup_totals",
+    family="cube/rollup grouping sets (beyond reference ∅; standard OLAP)",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n,
+       sum(cast(round(l_quantity * 100) AS BIGINT)) AS qty_c
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
+    (li,) = load_tables(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("l_quantity")).alias("qty_c"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty_c",
+        )
+    )
+
+
+@register(
+    "unpivot_stack",
+    family="unpivot/stack (melt wide metrics to rows)",
+    oracle="""
+SELECT o_orderkey, 'total_c' AS metric,
+       cast(round(o_totalprice * 100) AS BIGINT) AS value_c
+FROM orders WHERE o_orderkey < 100
+UNION ALL
+SELECT o_orderkey, 'key10' AS metric, o_orderkey * 10 AS value_c
+FROM orders WHERE o_orderkey < 100
+""",
+)
+def unpivot_stack(spark: SparkSession, sf: str) -> DataFrame:
+    (o,) = load_tables(spark, sf, "orders")
+    narrow = o.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey",
+        _cents("o_totalprice").alias("total_c"),
+        (F.col("o_orderkey") * 10).alias("key10"),
+    )
+    return narrow.unpivot(
+        ids=["o_orderkey"],
+        values=["total_c", "key10"],
+        variableColumnName="metric",
+        valueColumnName="value_c",
+    )
+
+
+@register(
+    "array_agg_sorted",
+    family="array_agg / collect_list with deterministic ordering",
+    oracle="""
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       count(*) AS n
+FROM events GROUP BY user_id
+""",
+)
+def array_agg_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    (e,) = load_tables(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "exact_percentiles",
+    family="exact percentile / median (ref ∅; audits use ROUND only)",
+    oracle="""
+SELECT event_type,
+       cast(round(quantile_cont(value, 0.5) * 100) AS BIGINT) AS median_c,
+       cast(round(quantile_cont(value, 0.9) * 100) AS BIGINT) AS p90_c
+FROM events GROUP BY event_type
+""",
+)
+def exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact (non-approx) percentiles: Spark `percentile` == DuckDB
+    quantile_cont (both linear-interpolating)."""
+    (e,) = load_tables(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)) * 100)
+        .cast("long")
+        .alias("median_c"),
+        F.round(F.percentile("value", F.lit(0.9)) * 100)
+        .cast("long")
+        .alias("p90_c"),
+    )

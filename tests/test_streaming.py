@@ -147,3 +147,39 @@ def test_stateful_conversation_progress(spark, tmp_table_dir):
         for c in ("n_events", "max_lsn", "last_ts", "n_deletes"):
             assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])
     spark.catalog.dropTempView("conv_progress")
+
+
+def test_session_window_stream(spark, tmp_table_dir):
+    """Streaming session windows (session_window + watermark): per-conv
+    activity sessions with a 1-hour gap; totals equal the batch count."""
+    import pyspark.sql.functions as F
+
+    from mimic_spark.streaming.cdc import CHANGELOG_SCHEMA
+
+    spec = ChangelogSpec(n_events=3000, n_convs=40, n_chunks=3)
+    write_changelog_chunks(spark, spec, os.path.join(tmp_table_dir, "changelog"))
+    glob = os.path.join(tmp_table_dir, "changelog", "chunk-*")
+    stream = spark.readStream.schema(CHANGELOG_SCHEMA).parquet(glob)
+    sess = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "1 hour").alias("win"), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("conv_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = spark.sql("SELECT sum(n_events) FROM conv_sessions").collect()[0][0]
+    from mimic_spark.sources.changelog import gen_events_py
+
+    assert total == len(gen_events_py(spec))
+    n_sessions = spark.sql("SELECT count(*) FROM conv_sessions").collect()[0][0]
+    n_convs = spark.sql(
+        "SELECT count(DISTINCT conv_id) FROM conv_sessions"
+    ).collect()[0][0]
+    assert n_sessions >= n_convs  # gaps split at least some conversations
+    spark.catalog.dropTempView("conv_sessions")
