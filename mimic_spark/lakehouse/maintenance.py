@@ -78,9 +78,14 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
 def compact(
     table: SnapshotTable,
     gc_tombstones_below: int | None = None,
+    sort_within_buckets: bool = True,
 ) -> dict:
     """Rewrite the table to one file per bucket; optionally drop tombstones
-    whose _lsn <= gc_tombstones_below (safe once the low-watermark passed)."""
+    whose _lsn <= gc_tombstones_below (safe once the low-watermark passed).
+
+    sort_within_buckets: cluster rows by key inside each bucket file so
+    parquet row-group min/max stats prune point lookups (the Iceberg
+    sort-order role)."""
     base = table.snapshot()
     df = table.read(version=base.version)
     dropped = 0
@@ -95,7 +100,9 @@ def compact(
         dropped = before - df.count()
     # write_data_files repartitions by bucket => exactly one task/file each
     new_files = table.write_data_files(
-        df.coalesce(max(1, table.n_buckets)), base.version + 1
+        df,
+        base.version + 1,
+        sort_cols=table.key_cols if sort_within_buckets else None,
     )
     for fe in new_files:
         fe["schema_id"] = base.schema_id
@@ -110,4 +117,45 @@ def compact(
         "files_before": len(base.files),
         "files_after": len(new_files),
         "tombstones_dropped": int(dropped),
+    }
+
+
+def rebucket(table: SnapshotTable, new_n_buckets: int) -> dict:
+    """Grow (or shrink) the table's bucket count — the scale-up path when a
+    table outlives its original layout (Iceberg partition-spec evolution).
+
+    Rewrites all data under the new hashing and atomically swaps the table
+    meta; snapshot history remains readable (old snapshots carry their own
+    file lists; only the *current* layout changes)."""
+    import json
+    import os
+
+    base = table.snapshot()
+    df = table.read(version=base.version)
+    old_n = table.n_buckets
+
+    # swap the bucket meta first in memory so write_data_files hashes with
+    # the new count, then persist it atomically alongside the commit
+    table._table_meta = {**table.table_meta, "n_buckets": int(new_n_buckets)}
+    new_files = table.write_data_files(
+        df, base.version + 1, sort_cols=table.key_cols
+    )
+    for fe in new_files:
+        fe["schema_id"] = base.schema_id
+    snap = table.commit(
+        base=base,
+        op="rebucket",
+        files=new_files,
+        props_update={"n_buckets": int(new_n_buckets)},
+    )
+    meta_path = os.path.join(table.path, "_log", "table.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(table.table_meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return {
+        "version": snap.version,
+        "old_n_buckets": old_n,
+        "new_n_buckets": int(new_n_buckets),
+        "files": len(new_files),
     }

@@ -275,6 +275,33 @@ class SnapshotTable:
             out = self._resolve_mor(out, snap.schema)
         return out
 
+    def read_for_keys(self, keys: list[tuple]) -> DataFrame:
+        """Point/key-lookup read: prune to exactly the buckets the given key
+        tuples hash to (serving-read path — O(touched buckets), not O(table)).
+
+        keys: list of tuples in key_cols order.
+        """
+        from mimic_spark.functions.hashing import bucket_expr
+
+        # keys must carry the table's exact key types: xxhash64 hashes int
+        # and bigint differently, so an inferred-long lookup key would land
+        # in the wrong bucket
+        schema = self.schema()
+        types = {f.name: f.dataType for f in schema.fields}
+        kdf = self.spark.createDataFrame(keys, self.key_cols).select(
+            *[F.col(c).cast(types[c]).alias(c) for c in self.key_cols]
+        )
+        buckets = [
+            r[0]
+            for r in kdf.select(
+                bucket_expr(self.key_cols, self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        df = self.read(buckets=buckets)
+        return df.join(F.broadcast(kdf), self.key_cols, "left_semi")
+
     def _resolve_mor(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Latest row per key by _lsn (ties are duplicate deliveries —
         identical rows — so any winner is correct)."""
@@ -292,8 +319,17 @@ class SnapshotTable:
 
     # ---------- write ----------
 
-    def write_data_files(self, df: DataFrame, version: int) -> list[dict[str, Any]]:
+    def write_data_files(
+        self,
+        df: DataFrame,
+        version: int,
+        sort_cols: list[str] | None = None,
+    ) -> list[dict[str, Any]]:
         """Write df (must NOT contain _bucket) partitioned by derived bucket.
+
+        sort_cols: cluster rows inside each bucket file (applied AFTER the
+        bucket repartition so the sort survives into the files) — enables
+        parquet row-group min/max pruning on those columns.
 
         Returns file entries for a subsequent commit.  Files land under
         ``data/c{version}-{uuid}/_bucket=<b>/`` — bucket is directory-encoded
@@ -303,13 +339,12 @@ class SnapshotTable:
         """
         rel_dir = os.path.join("data", f"c{version:012d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
-        (
-            df.withColumn("_bucket", self.bucket_col())
-            .repartition(self.n_buckets, "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("error")
-            .parquet(out_dir)
+        staged = df.withColumn("_bucket", self.bucket_col()).repartition(
+            self.n_buckets, "_bucket"
         )
+        if sort_cols:
+            staged = staged.sortWithinPartitions(*sort_cols)
+        staged.write.partitionBy("_bucket").mode("error").parquet(out_dir)
         entries: list[dict[str, Any]] = []
         for sub in sorted(os.listdir(out_dir)):
             if not sub.startswith("_bucket="):
