@@ -722,3 +722,53 @@ def exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("p90_c"),
     )
+
+
+@register(
+    "vocab_union_custom",
+    family="S-vocab: base vocabulary UNION custom concepts with precedence dedup (ref etl/staging/voc_copy_to_target_dataset.sql:29-39)",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey AS concept_id, n_name AS concept_name,
+         'base' AS vocab_source
+  FROM nation
+),
+custom AS (  -- custom rows override two base concepts and add one new
+  SELECT * FROM (VALUES (0, 'CUSTOM_ZERO', 'custom'),
+                        (5, 'CUSTOM_FIVE', 'custom'),
+                        (99, 'CUSTOM_NEW', 'custom'))
+         AS t(concept_id, concept_name, vocab_source)
+),
+unioned AS (SELECT * FROM base UNION ALL SELECT * FROM custom)
+SELECT concept_id, concept_name, vocab_source FROM (
+  SELECT *, row_number() OVER (PARTITION BY concept_id
+             ORDER BY CASE vocab_source WHEN 'custom' THEN 0 ELSE 1 END) AS rn
+  FROM unioned
+) WHERE rn = 1
+""",
+)
+def vocab_union_custom(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary refresh: custom concepts take precedence over base rows
+    with the same id — union + priority window dedup (W1 again)."""
+    from pyspark.sql import Window as W
+
+    (n,) = load_tables(spark, sf, "nation")
+    base = n.select(
+        F.col("n_nationkey").alias("concept_id"),
+        F.col("n_name").alias("concept_name"),
+        F.lit("base").alias("vocab_source"),
+    )
+    custom = spark.createDataFrame(
+        [(0, "CUSTOM_ZERO", "custom"), (5, "CUSTOM_FIVE", "custom"),
+         (99, "CUSTOM_NEW", "custom")],
+        "concept_id int, concept_name string, vocab_source string",
+    )
+    u = base.unionByName(custom)
+    w = W.partitionBy("concept_id").orderBy(
+        F.when(F.col("vocab_source") == "custom", 0).otherwise(1)
+    )
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("concept_id", "concept_name", "vocab_source")
+    )
