@@ -50,13 +50,17 @@ def run_stream(
     n_buckets: int = 32,
     max_files_per_trigger: int = 1,
     fail_after: int | None = None,
+    mode: str = "cow",
+    compact_every: int = 8,
 ) -> TranscriptCdc:
     """Process all currently-available changelog files, then stop
     (availableNow trigger). Re-invoke with the same checkpoint_dir to resume.
 
     fail_after: test hook — raise after N successful batches (crash drill).
     """
-    cdc = TranscriptCdc(spark, table_path, n_buckets=n_buckets)
+    cdc = TranscriptCdc(
+        spark, table_path, n_buckets=n_buckets, mode=mode, compact_every=compact_every
+    )
     state = {"applied": 0}
 
     def handle(batch_df, batch_id: int) -> None:

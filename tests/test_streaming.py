@@ -183,3 +183,19 @@ def test_session_window_stream(spark, tmp_table_dir):
     ).collect()[0][0]
     assert n_sessions >= n_convs  # gaps split at least some conversations
     spark.catalog.dropTempView("conv_sessions")
+
+
+def test_stream_mor_mode(spark, tmp_table_dir):
+    """Streaming apply in merge-on-read mode (with auto-compaction) equals
+    the replay oracle too."""
+    write_changelog_chunks(spark, SPEC, os.path.join(tmp_table_dir, "changelog"))
+    cdc = run_stream(
+        spark,
+        os.path.join(tmp_table_dir, "changelog", "chunk-*"),
+        os.path.join(tmp_table_dir, "transcripts"),
+        os.path.join(tmp_table_dir, "ckpt"),
+        max_files_per_trigger=3,
+        mode="mor",
+        compact_every=2,
+    )
+    assert _published_rows(cdc) == _oracle_rows(SPEC)
