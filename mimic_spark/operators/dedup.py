@@ -305,3 +305,73 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return cand.filter(hamming <= 3).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     )
+
+
+@register(
+    "dedup_clusters",
+    family="training-data: near-dup clustering — connected components over Jaccard pairs (iterative min-label propagation)",
+    oracle=None,  # iterative algorithm (non-SQL-expressible); pytest asserts
+    # pair-consistency and transitivity against dedup_ngram_jaccard
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Group near-duplicate documents into clusters and elect a canonical id.
+
+    Connected components by iterative min-label propagation over the exact
+    Jaccard pair set: every doc starts labeled with its own id; each round a
+    doc adopts the minimum label among itself and its neighbors; fixpoint in
+    O(diameter) rounds.  DataFrame-iterative pattern: the loop lives on the
+    driver, each round is pure joins/aggregations, and localCheckpoint cuts
+    the growing lineage (the standard Spark idiom for iterative algorithms;
+    at cluster scale swap in GraphFrames' LPA — same semantics).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    # undirected edge list, both directions
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    (d,) = load_tables(spark, sf, "documents")
+    labels = d.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+
+    for _ in range(20):  # diameter bound; tiny for near-dup graphs
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("nb_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") != F.col("cluster_id")).alias("is_dup"),
+    )

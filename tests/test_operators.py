@@ -185,3 +185,44 @@ def test_cosine_dedup_consistent_with_topk(spark):
                 max(r["query_id"], r["neighbor_id"]),
             )
             assert k in pairs, k
+
+
+def test_dedup_clusters_consistent(spark):
+    """Connected components agree with the pair set: endpoints of every pair
+    share a cluster; transitive closure holds; non-paired docs are singleton
+    canonicals."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in OPS["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    ]
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in OPS["dedup_clusters"].fn(spark, SF).collect()
+    }
+    for a, b in pairs:
+        assert labels[a] == labels[b], (a, b)
+    # canonical = min id of the component
+    comp: dict = {}
+    for a, b in pairs:
+        comp.setdefault(a, set()).add(b)
+        comp.setdefault(b, set()).add(a)
+    # python-side closure for verification
+    seen = set()
+    for start in comp:
+        if start in seen:
+            continue
+        stack, members = [start], set()
+        while stack:
+            x = stack.pop()
+            if x in members:
+                continue
+            members.add(x)
+            stack.extend(comp.get(x, ()))
+        seen |= members
+        want = min(members)
+        for m in members:
+            assert labels[m] == want, (m, labels[m], want)
+    paired = set(comp)
+    for doc, lab in labels.items():
+        if doc not in paired:
+            assert lab == doc  # singleton is its own canonical
