@@ -1,6 +1,7 @@
 """Deduplication operator family over `documents` (training-data pipeline ops).
 
-Four strategies, each a `queries()` entry:
+Strategies, each a `queries()` entry (plus dedup_embedding_cosine in
+similarity.py and connected-component clustering at the end of this file):
 - exact (normalized-key hash groupBy)            — SQL-oracled
 - n-gram Jaccard pairs (shingle self-join)       — SQL-oracled
 - MinHash + LSH candidate pairs + verification   — rows-only (engine hash),
