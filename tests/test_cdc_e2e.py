@@ -153,3 +153,24 @@ def test_lineage_and_ledger(spark, tmp_table_dir):
     total_in = m.agg({"rows_in": "sum"}).collect()[0][0]
     n_dups = len([e for e in gen_events_py(SPEC)]) - SPEC.n_events
     assert total_in == SPEC.n_events + n_dups
+
+
+def test_resume_from_every_prefix(spark, tmp_table_dir):
+    """north_rule: 'resumable from checkpoint ... replay from any checkpoint
+    reconverges' — literally every prefix: apply k batches, then replay the
+    full stream; the final table must equal the oracle for every k."""
+    spec = ChangelogSpec(n_events=1500, n_convs=40, n_chunks=4)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "changelog")
+    )
+    want = _oracle_rows(spec)
+    for k in range(len(chunks) + 1):
+        path = os.path.join(tmp_table_dir, f"transcripts_k{k}")
+        cdc = TranscriptCdc(spark, path, n_buckets=8)
+        run_batched(spark, cdc, chunks[:k])
+        cdc2 = TranscriptCdc(spark, path, n_buckets=8)  # "restart"
+        results = run_batched(spark, cdc2, chunks)
+        assert [r.skipped for r in results] == [True] * k + [False] * (
+            len(chunks) - k
+        )
+        assert _final_rows(cdc2) == want, f"diverged when resuming after {k}"
