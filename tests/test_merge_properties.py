@@ -141,3 +141,69 @@ def run_engine(spark, batches, mode: str):
 def test_merge_equals_sequential_replay(spark, mode, data):
     events, batches = data
     assert run_engine(spark, batches, mode) == oracle_state(events)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=changelog())
+def test_diff_apply_roundtrip_property(spark, data):
+    """For random changelogs: snapshot_diff(v_mid -> v_end) applied onto a
+    copy of v_mid reproduces v_end — the engine's emitted CDC is faithful."""
+    import pyspark.sql.functions as F
+
+    from mimic_spark.lakehouse.diff import snapshot_diff
+    from mimic_spark.streaming.apply import dedup_batch
+
+    events, batches = data
+    d = tempfile.mkdtemp(prefix="hyp_diff_")
+    try:
+        t = SnapshotTable.create(
+            spark,
+            os.path.join(d, "t"),
+            ensure_internal_schema(SCHEMA),
+            ["conv_id", "turn_idx"],
+            n_buckets=4,
+        )
+        versions = []
+        for i, batch in enumerate(batches):
+            if not batch:
+                continue
+            df = spark.createDataFrame(
+                [
+                    (e["lsn"], e["op"], e["conv_id"], e["turn_idx"], e["text"])
+                    for e in batch
+                ],
+                BATCH_SCHEMA,
+            )
+            merge_into(t, dedup_batch(df), batch_id=i)
+            versions.append(t.latest_version())
+        if len(versions) < 2:
+            return
+        v_mid, v_end = versions[0], versions[-1]
+
+        changes = snapshot_diff(t, v_mid, v_end)
+        copy = SnapshotTable.create(
+            spark,
+            os.path.join(d, "copy"),
+            t.read(version=v_mid).schema,
+            ["conv_id", "turn_idx"],
+            n_buckets=4,
+        )
+        copy.append(t.read(version=v_mid))
+        merge_into(copy, changes, batch_id=0)
+
+        def pub(tbl, v=None):
+            df = tbl.read(version=v).filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            )
+            return sorted(
+                tuple(r)
+                for r in df.select("conv_id", "turn_idx", "text").collect()
+            )
+
+        assert pub(copy) == pub(t, v_end)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
