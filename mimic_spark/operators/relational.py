@@ -25,10 +25,10 @@ def _cents(col: str) -> F.Column:
     family="A1 group-agg (ref etl/etl/lk_vis_part_2.sql:115-137), P1-P4 filters",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       sum(cast(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-       sum(cast(round(l_extendedprice * 100) AS BIGINT)
-           * cast(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cc,
+       cast(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)
+           * cast(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -98,7 +98,7 @@ SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
             WHEN o_orderpriority LIKE '3%' THEN 'warm'
             ELSE 'cold' END AS prio_class,
        count(*) AS n,
-       sum(cast(round(o_totalprice * 100) AS BIGINT)) AS total_c
+       cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
 FROM orders
 WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
   AND o_orderstatus <> 'P'
@@ -134,7 +134,7 @@ def filter_case_cascade(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 SELECT n.n_name AS nation, r.r_name AS region,
        count(*) AS n_cust,
-       sum(cast(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_c
+       cast(sum(cast(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -390,7 +390,7 @@ def union_distinct_reagg(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        count(*) AS n_events,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
        round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
              * 100.0 / count(*), 2) AS error_pct
 FROM events
@@ -529,11 +529,11 @@ def set_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
     family="pivot/unpivot (beyond reference: ∅ there; standard OLAP reshaping)",
     oracle="""
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup
+       cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
 FROM events GROUP BY user_id
 """,
 )
@@ -633,7 +633,7 @@ def deterministic_row_id_op(spark: SparkSession, sf: str) -> DataFrame:
 SELECT coalesce(l_returnflag, 'ALL') AS rf,
        coalesce(l_linestatus, 'ALL') AS ls,
        count(*) AS n,
-       sum(cast(round(l_quantity * 100) AS BIGINT)) AS qty_c
+       cast(sum(cast(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -687,15 +687,20 @@ def unpivot_stack(spark: SparkSession, sf: str) -> DataFrame:
     family="array_agg / collect_list with deterministic ordering",
     oracle="""
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
        count(*) AS n
 FROM events GROUP BY user_id
 """,
 )
 def array_agg_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_set -> sort_array for determinism, then array_join to a
+    string: the correctness harness canonicalizes via pandas hashing, which
+    cannot hash array-typed cells — a serialized form is the portable
+    contract (and what the reference's STRING_AGG-style audits emit anyway).
+    """
     (e,) = load_tables(spark, sf, "events")
     return e.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -69,10 +69,31 @@ def main() -> int:
             o = con.execute(oracles[name])
             ocols = [d[0] for d in o.description]
             odata = o.fetchall()
+            odf = con.execute(oracles[name]).df()
             sc, srows = _canon(scols, [tuple(r) for r in sdata])
             oc, orows = _canon(ocols, odata)
+            # The driver's value-hash is pandas-dtype-sensitive (e.g. DuckDB
+            # sum(BIGINT)->HUGEINT lands as object dtype and hash-mismatches
+            # int64 even when values are equal) — flag dtype kind drift here.
+            sdf = df.limit(1).toPandas()
+            okinds = {c: odf[c].dtype.kind for c in odf.columns}
+            skinds = {c: sdf[c].dtype.kind for c in sdf.columns}
+            kind_drift = {
+                c: (skinds[c], okinds[c])
+                for c in skinds
+                if c in okinds and skinds[c] != okinds[c]
+                # only numeric/bool drift is hash-hazardous (dates come back
+                # as object-of-date on the Spark side and datetime64 on the
+                # DuckDB side, and the driver's hash tolerates that)
+                and (skinds[c] in "iufb" or okinds[c] in "iufb")
+                # empty-result or all-NULL columns legitimately differ
+                and not odf[c].isna().all() and len(odf)
+            }
             if sc != oc:
                 print(f"FAIL {name}: columns {sc} != {oc}")
+                n_fail += 1
+            elif kind_drift:
+                print(f"FAIL {name}: pandas dtype-kind drift (driver hash-sensitive): {kind_drift}")
                 n_fail += 1
             elif len(srows) != len(orows):
                 print(f"FAIL {name}: rowcount {len(srows)} != {len(orows)}")
