@@ -233,3 +233,130 @@ def asof_range_join(spark: SparkSession, sf: str) -> DataFrame:
         .filter("rn = 1")
         .select("event_id", "incident_id")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start: str = "start_ts",
+    end: str = "end_ts",
+    gap_seconds: int = 0,
+    era_col: str = "era_id",
+) -> DataFrame:
+    """Merge possibly-overlapping, variable-length intervals per key group.
+
+    The W5 primitive (ref etl/etl/cdm_drug_era.sql:51-260).  The reference
+    builds eras with an event sweep: union starts and (pad-by-30-days) ends,
+    take MAX(start_ordinal) OVER (... ROWS UNBOUNDED PRECEDING), keep rows
+    where 2*start_ordinal = overall_ord, then unpad.  The algebraic core is a
+    *running max of interval ends* — lag(end) is NOT sufficient because with
+    variable-length intervals end order differs from start order (a long
+    interval can swallow several later short ones).  Spark-first form: one
+    window pass computing the running max of `end` over rows strictly before
+    the current one; a new era starts where that max, padded by
+    `gap_seconds` (the reference's 30-day grace), is still before `start`.
+
+    Scale: two window functions over one (keys)-partitioned sort — a single
+    shuffle, no self-join, no event-union blowup (the reference's sweep
+    doubles the row count and needs an extra range join back).
+    """
+    w = W.partitionBy(*keys).orderBy(start, end)
+    prev_max_end = F.max(end).over(w.rowsBetween(W.unboundedPreceding, -1))
+    new_era = F.when(
+        prev_max_end.isNull()
+        | (prev_max_end + F.expr(f"INTERVAL {gap_seconds} SECONDS") < F.col(start)),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_new_era", new_era).withColumn(
+        era_col,
+        F.sum("_new_era")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    ).drop("_new_era")
+
+
+@register(
+    "era_variable_intervals",
+    family="W5 full form: variable-length-interval era build w/ pad/unpad running-max merge (ref cdm_drug_era.sql:51-260; pad :189-198, unpad :228-237)",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS start_ts,
+         ts + to_seconds((event_id % 240) * 60) AS end_ts
+  FROM events WHERE event_type IN ('click', 'error')
+),
+sub_flag AS (
+  SELECT user_id, start_ts, end_ts,
+         CASE WHEN max(end_ts) OVER (PARTITION BY user_id ORDER BY start_ts, end_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start_ts
+              THEN 0 ELSE 1 END AS new_sub
+  FROM iv
+),
+sub AS (
+  SELECT user_id, start_ts, end_ts,
+         sum(new_sub) OVER (PARTITION BY user_id ORDER BY start_ts, end_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sub_id
+  FROM sub_flag
+),
+subs AS (
+  SELECT user_id, sub_id,
+         min(start_ts) AS s, max(end_ts) AS e, count(*) AS n_exposures
+  FROM sub GROUP BY user_id, sub_id
+),
+era_flag AS (
+  SELECT user_id, s, e, n_exposures,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                + INTERVAL 30 MINUTE >= s
+              THEN 0 ELSE 1 END AS new_era
+  FROM subs
+),
+era AS (
+  SELECT user_id, s, e, n_exposures,
+         sum(new_era) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era_id
+  FROM era_flag
+)
+SELECT user_id, cast(era_id AS BIGINT) AS era_id,
+       min(s) AS era_start, max(e) AS era_end,
+       cast(sum(n_exposures) AS BIGINT) AS n_exposures,
+       count(*) AS n_sub_eras
+FROM era GROUP BY user_id, era_id
+""",
+)
+def era_variable_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's full two-level era build on variable-length intervals:
+
+    1. raw exposures -> sub-exposures: merge *overlapping* intervals (gap 0)
+       — ref cdm_drug_era.sql:51-170 (sub-enddates sweep + temp_ends);
+    2. sub-exposures -> eras: merge with a 30-unit grace pad
+       — ref :174-260 (pad :189-198, unpad :228-237), here 30 minutes in
+       place of 30 days to suit the events table's time scale.
+
+    Interval length varies per row ((event_id % 240) minutes), so end order
+    differs from start order — the case where lag(end) is wrong and the
+    running max is required (cf. era_gaps_islands' fixed-width simplification).
+    """
+    (e,) = load_tables(spark, sf, "events")
+    iv = e.filter(F.col("event_type").isin("click", "error")).select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.expr("timestampadd(SECOND, (event_id % 240) * 60, ts)").alias("end_ts"),
+    )
+    subs = (
+        merge_intervals(iv, ["user_id"], gap_seconds=0, era_col="sub_id")
+        .groupBy("user_id", "sub_id")
+        .agg(
+            F.min("start_ts").alias("s"),
+            F.max("end_ts").alias("e"),
+            F.count(F.lit(1)).alias("n_exposures"),
+        )
+    )
+    eras = merge_intervals(
+        subs, ["user_id"], start="s", end="e", gap_seconds=30 * 60, era_col="era_id"
+    )
+    return eras.groupBy("user_id", "era_id").agg(
+        F.min("s").alias("era_start"),
+        F.max("e").alias("era_end"),
+        F.sum("n_exposures").cast("long").alias("n_exposures"),
+        F.count(F.lit(1)).alias("n_sub_eras"),
+    )

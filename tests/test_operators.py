@@ -226,3 +226,73 @@ def test_dedup_clusters_consistent(spark):
     for doc, lab in labels.items():
         if doc not in paired:
             assert lab == doc  # singleton is its own canonical
+
+
+def test_era_running_max_equals_lag_on_fixed_width(spark):
+    """On fixed-width intervals (end order == start order) the running-max
+    merge (era_variable_intervals' primitive) must reproduce the lag-based
+    era_gaps_islands exactly — the regime where the simplification is valid."""
+    from pyspark.sql import functions as F
+
+    from mimic_spark.operators.windows import merge_intervals
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    iv = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    via_runmax = (
+        merge_intervals(iv, ["user_id"], gap_seconds=0)
+        .groupBy("user_id", "era_id")
+        .agg(
+            F.min("start_ts").alias("era_start"),
+            F.max("end_ts").alias("era_end"),
+            F.count(F.lit(1)).alias("n_incidents"),
+        )
+    )
+    via_lag = OPS["era_gaps_islands"].fn(spark, SF)
+    a = {tuple(r) for r in via_runmax.collect()}
+    b = {tuple(r) for r in via_lag.collect()}
+    assert a == b
+
+
+def test_era_variable_intervals_swallow_case(spark):
+    """A long interval swallowing later short ones: lag(end) would split the
+    era; the running max must not (ref cdm_drug_era.sql's motivating case)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from mimic_spark.operators.windows import merge_intervals
+
+    def t(m):
+        return datetime(2025, 1, 1, m // 60, m % 60)
+
+    rows = [
+        # long interval 0..50; short ones 10..12, 20..22 inside it;
+        # 48..55 overlaps its tail; 120.. starts a genuinely new era
+        ("u1", t(0), t(50)),
+        ("u1", t(10), t(12)),
+        ("u1", t(20), t(22)),
+        ("u1", t(48), t(55)),
+        ("u1", t(120), t(125)),
+    ]
+    iv = spark.createDataFrame(rows, "user_id string, start_ts timestamp, end_ts timestamp")
+    out = (
+        merge_intervals(iv, ["user_id"], gap_seconds=0)
+        .groupBy("user_id", "era_id")
+        .agg(F.min("start_ts").alias("s"), F.max("end_ts").alias("e"), F.count(F.lit(1)).alias("n"))
+        .orderBy("era_id")
+        .collect()
+    )
+    assert len(out) == 2
+    assert out[0]["n"] == 4 and out[0]["s"] == t(0) and out[0]["e"] == t(55)
+    assert out[1]["n"] == 1
+    # and with a 90-minute grace pad the two eras fuse (the 30-day analog)
+    fused = (
+        merge_intervals(iv, ["user_id"], gap_seconds=90 * 60)
+        .agg(F.max("era_id").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert fused == 1
