@@ -134,11 +134,13 @@ class TranscriptCdc:
             SnapshotTable.create(sp, mp, METRICS_SCHEMA, ["batch_id", "partition_id"], 1)
         self.ledger = SnapshotTable(sp, lp)
         self.metrics = SnapshotTable(sp, mp)
-        # single-writer cache of recorded batch ids: avoids a ledger read per
-        # batch (the table itself stays the source of truth on restart)
-        self._ledger_ids: set[int] = {
-            r["batch_id"] for r in self.ledger.read().select("batch_id").collect()
-        }
+        # single-writer high-watermark of recorded batch ids: avoids a ledger
+        # read per batch AND stays O(1) in driver memory over a 10^10-event
+        # stream's lifetime (batch ids are monotone in both run_batched and
+        # structured-streaming epochs; the table itself remains the source of
+        # truth on restart)
+        hwm = self.ledger.read().agg(F.max("batch_id")).collect()[0][0]
+        self._ledger_hwm: int = -1 if hwm is None else int(hwm)
 
     # ------------------------------------------------------------- pipeline
 
@@ -190,8 +192,39 @@ class TranscriptCdc:
         return result
 
     def _record(self, batch_id: int, result: MergeResult, lineage_rows) -> None:
-        if batch_id in self._ledger_ids:
+        if batch_id <= self._ledger_hwm:
             return
+        # Metrics BEFORE the ledger row: the ledger row is the completion
+        # marker, so a crash between the two appends is healed on replay
+        # (merge skips, this method runs again and backfills) instead of
+        # losing the batch's metrics forever.  On the recovered path the
+        # metrics may already exist from the crashed attempt — point-check
+        # the (tiny) metrics table before appending to stay idempotent.
+        if lineage_rows:
+            already = result.skipped and (
+                self.metrics.read()
+                .filter(F.col("batch_id") == int(batch_id))
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not already:
+                mrows = [
+                    (
+                        int(batch_id),
+                        int(r["_bucket"]),
+                        int(r["lsn_lo"]),
+                        int(r["lsn_hi"]),
+                        int(r["rows_in"]),
+                        int(r["rows_deduped"]),
+                        int(r["inserts"]),
+                        int(r["updates"]),
+                        int(r["deletes"]),
+                        self.run_id,
+                    )
+                    for r in lineage_rows
+                ]
+                self.metrics.append(self.spark.createDataFrame(mrows, METRICS_SCHEMA))
         if result.skipped:
             # crash happened between data-commit and ledger-append on a prior
             # attempt: backfill a recovery marker from the table props
@@ -221,24 +254,7 @@ class TranscriptCdc:
             "committed_at", F.current_timestamp()
         )
         self.ledger.append(ldf)
-        self._ledger_ids.add(int(batch_id))
-        if not result.skipped and lineage_rows:
-            mrows = [
-                (
-                    int(batch_id),
-                    int(r["_bucket"]),
-                    int(r["lsn_lo"]),
-                    int(r["lsn_hi"]),
-                    int(r["rows_in"]),
-                    int(r["rows_deduped"]),
-                    int(r["inserts"]),
-                    int(r["updates"]),
-                    int(r["deletes"]),
-                    self.run_id,
-                )
-                for r in lineage_rows
-            ]
-            self.metrics.append(self.spark.createDataFrame(mrows, METRICS_SCHEMA))
+        self._ledger_hwm = max(self._ledger_hwm, int(batch_id))
 
     # --------------------------------------------------------------- reads
 

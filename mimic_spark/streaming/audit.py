@@ -65,17 +65,39 @@ def run_audit(
         {"lsn_hi": wm, "max_row_lsn": max_lsn},
     )
 
-    ledger = cdc.ledger.read().collect()
-    batch_ids = sorted(r["batch_id"] for r in ledger)
-    contiguous = batch_ids == list(range(len(batch_ids)))
-    rep.record("ledger_continuity", contiguous, {"batch_ids": batch_ids})
+    # Continuity as an aggregate — never collect the full ledger: it grows
+    # with the stream's lifetime (10^10 events => millions of batches).
+    # Unique + contiguous from 0 <=> count == distinct == max+1.
+    ls = (
+        cdc.ledger.read()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("batch_id").alias("nd"),
+            F.max("batch_id").alias("mx"),
+        )
+        .collect()[0]
+    )
+    contiguous = ls["n"] == 0 or (ls["nd"] == ls["n"] and ls["mx"] == ls["n"] - 1)
+    rep.record(
+        "ledger_continuity",
+        contiguous,
+        {"n_batches": ls["n"], "distinct": ls["nd"], "max_batch_id": ls["mx"]},
+    )
 
-    applied = {r["batch_id"] for r in ledger if not r["recovered"] and (r["rows_applied"] or 0) > 0}
-    with_metrics = {
+    # Coverage as an anti-join (distributed), reporting only a bounded sample
+    # of offenders instead of materializing every batch id on the driver.
+    applied = cdc.ledger.read().filter(
+        (~F.coalesce(F.col("recovered"), F.lit(False)))
+        & (F.coalesce(F.col("rows_applied"), F.lit(0)) > 0)
+    ).select("batch_id")
+    with_metrics = cdc.metrics.read().select("batch_id").distinct()
+    missing = [
         r["batch_id"]
-        for r in cdc.metrics.read().select("batch_id").distinct().collect()
-    }
-    missing = sorted(applied - with_metrics)
+        for r in applied.join(with_metrics, "batch_id", "left_anti")
+        .orderBy("batch_id")
+        .limit(20)
+        .collect()
+    ]
     rep.record("lineage_coverage", not missing, {"batches_missing_metrics": missing})
 
     if expected_final_count is not None:

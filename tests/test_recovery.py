@@ -89,3 +89,51 @@ def test_merge_retries_past_racing_commit(spark, tmp_table_dir):
     assert not res.skipped and res.inserts == 1
     live = t.read().collect()
     assert len(live) == 1 and live[0]["text"] == "x"
+
+
+def test_metrics_backfilled_on_recovered_batch(spark, tmp_table_dir):
+    """Crash after the data commit but before ANY recording: the replay's
+    skipped path must backfill the batch's lineage metrics (not just the
+    ledger row), and a second replay must not duplicate them."""
+    from pyspark.sql import functions as F
+
+    from mimic_spark.lakehouse.merge import merge_into
+
+    chunks = write_changelog_chunks(
+        spark, SPEC, os.path.join(tmp_table_dir, "changelog")
+    )
+    table = os.path.join(tmp_table_dir, "transcripts")
+    cdc = TranscriptCdc(spark, table)
+    run_batched(spark, cdc, chunks[:1])
+
+    # batch 1: data commit lands, process dies before _record ever runs
+    deduped, _ = cdc.prepare(spark.read.parquet(chunks[1]))
+    merge_into(cdc.table, deduped, batch_id=1, mode=cdc.mode)
+    assert cdc.metrics.read().filter(F.col("batch_id") == 1).count() == 0
+
+    cdc2 = TranscriptCdc(spark, table)  # restart; replay chunk 1 as batch 1
+    res2 = cdc2.apply_batch(spark.read.parquet(chunks[1]), 1)
+    assert res2.skipped
+    n_metrics = cdc2.metrics.read().filter(F.col("batch_id") == 1).count()
+    assert n_metrics > 0
+    ledger = {r["batch_id"]: r for r in cdc2.ledger.read().collect()}
+    assert ledger[1]["recovered"]
+    # replay once more: fully idempotent, no metric duplication
+    cdc3 = TranscriptCdc(spark, table)
+    cdc3.apply_batch(spark.read.parquet(chunks[1]), 1)
+    assert cdc3.metrics.read().filter(F.col("batch_id") == 1).count() == n_metrics
+
+
+def test_driver_state_is_o1_after_reopen(spark, tmp_table_dir):
+    """Re-opening a table with N committed batches keeps O(1) driver state:
+    a single int high-watermark, not a set of every batch id ever seen."""
+    chunks = write_changelog_chunks(
+        spark, SPEC, os.path.join(tmp_table_dir, "changelog")
+    )
+    table = os.path.join(tmp_table_dir, "transcripts")
+    cdc = TranscriptCdc(spark, table)
+    run_batched(spark, cdc, chunks)
+    cdc2 = TranscriptCdc(spark, table)
+    assert isinstance(cdc2._ledger_hwm, int)
+    assert cdc2._ledger_hwm == len(chunks) - 1
+    assert not hasattr(cdc2, "_ledger_ids")
