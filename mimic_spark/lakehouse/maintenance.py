@@ -124,21 +124,18 @@ def rebucket(table: SnapshotTable, new_n_buckets: int) -> dict:
     """Grow (or shrink) the table's bucket count — the scale-up path when a
     table outlives its original layout (Iceberg partition-spec evolution).
 
-    Rewrites all data under the new hashing and atomically swaps the table
-    meta; snapshot history remains readable (old snapshots carry their own
-    file lists; only the *current* layout changes)."""
-    import json
-    import os
-
+    Rewrites all data under the new hashing; the count change rides the
+    snapshot commit itself (n_buckets is a snapshot prop, resolved per
+    version like schemas), so the swap is atomic: a crash or CommitConflict
+    before the commit leaves only orphan data files and NO meta change
+    anywhere — readers and time-travel of pre-rebucket versions keep
+    hashing with each version's own count."""
     base = table.snapshot()
     df = table.read(version=base.version)
     old_n = table.n_buckets
 
-    # swap the bucket meta first in memory so write_data_files hashes with
-    # the new count, then persist it atomically alongside the commit
-    table._table_meta = {**table.table_meta, "n_buckets": int(new_n_buckets)}
     new_files = table.write_data_files(
-        df, base.version + 1, sort_cols=table.key_cols
+        df, base.version + 1, sort_cols=table.key_cols, n_buckets=int(new_n_buckets)
     )
     for fe in new_files:
         fe["schema_id"] = base.schema_id
@@ -148,11 +145,6 @@ def rebucket(table: SnapshotTable, new_n_buckets: int) -> dict:
         files=new_files,
         props_update={"n_buckets": int(new_n_buckets)},
     )
-    meta_path = os.path.join(table.path, "_log", "table.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(table.table_meta, f, indent=1)
-    os.replace(tmp, meta_path)
     return {
         "version": snap.version,
         "old_n_buckets": old_n,

@@ -161,7 +161,11 @@ class SnapshotTable:
             schema_id=0,
             schemas={0: schema},
             files=[],
-            props=props or {},
+            # n_buckets lives in snapshot props (and is carried forward by
+            # commit) so each snapshot knows the bucket count its files were
+            # hashed under — bucket-pruned time-travel reads across a
+            # rebucket stay correct; table.json keeps a legacy fallback
+            props={**(props or {}), "n_buckets": n_buckets},
         )
         return t
 
@@ -184,6 +188,17 @@ class SnapshotTable:
 
     @property
     def n_buckets(self) -> int:
+        return self.n_buckets_at(None)
+
+    def n_buckets_at(self, version: int | None) -> int:
+        """Bucket count in force at a given snapshot (None = current).
+
+        Resolved from snapshot props like schemas are — the count changes
+        atomically with the rebucket commit, so a crashed or conflicted
+        rebucket can never leave readers hashing with the wrong count."""
+        props = self.snapshot(version).props
+        if "n_buckets" in props:
+            return int(props["n_buckets"])
         return int(self.table_meta["n_buckets"])
 
     def bucket_col(self) -> F.Column:
@@ -201,7 +216,14 @@ class SnapshotTable:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.latest_version() if version is None else version
-        with open(os.path.join(self._log_dir, f"v{v:012d}.json")) as f:
+        p = os.path.join(self._log_dir, f"v{v:012d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"snapshot v{v} of {self.path} does not exist "
+                f"(expired by maintenance, or never created); "
+                f"available: {self.versions()}"
+            )
+        with open(p) as f:
             raw = json.load(f)
         schemas = {
             int(k): T.StructType.fromJson(s) for k, s in raw["schemas"].items()
@@ -221,8 +243,17 @@ class SnapshotTable:
     def props(self) -> dict[str, Any]:
         return self.snapshot().props
 
+    def versions(self) -> list[int]:
+        """Existing snapshot versions — possibly with holes below the newest
+        window after expire_snapshots."""
+        return sorted(
+            int(name[1:-5])
+            for name in os.listdir(self._log_dir)
+            if name.startswith("v") and name.endswith(".json")
+        )
+
     def history(self) -> list[Snapshot]:
-        return [self.snapshot(v) for v in range(self.latest_version() + 1)]
+        return [self.snapshot(v) for v in self.versions()]
 
     # ---------- read ----------
 
@@ -324,6 +355,7 @@ class SnapshotTable:
         df: DataFrame,
         version: int,
         sort_cols: list[str] | None = None,
+        n_buckets: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (must NOT contain _bucket) partitioned by derived bucket.
 
@@ -339,9 +371,12 @@ class SnapshotTable:
         """
         rel_dir = os.path.join("data", f"c{version:012d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
-        staged = df.withColumn("_bucket", self.bucket_col()).repartition(
-            self.n_buckets, "_bucket"
-        )
+        # n_buckets override: rebucket writes under the NEW count before the
+        # commit that makes it official exists (no shared state mutated)
+        nb = self.n_buckets if n_buckets is None else int(n_buckets)
+        staged = df.withColumn(
+            "_bucket", bucket_expr(self.key_cols, nb)
+        ).repartition(nb, "_bucket")
         if sort_cols:
             staged = staged.sortWithinPartitions(*sort_cols)
         staged.write.partitionBy("_bucket").mode("error").parquet(out_dir)

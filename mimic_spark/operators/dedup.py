@@ -337,6 +337,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
 
+    changed = 0
     for _ in range(20):  # diameter bound; tiny for near-dup graphs
         neighbor_min = (
             edges.join(
@@ -371,6 +372,14 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # the loop exited on the round cap, not at fixpoint: clusters would
+        # be silently split, violating the transitivity contract — fail loud
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge within "
+            "20 rounds (component diameter > 20); raise the bound or use a "
+            "large-scale CC implementation (e.g. GraphFrames LPA)"
+        )
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -232,3 +232,64 @@ def test_rebucket_grows_layout(spark, tmp_table_dir):
     assert after == before
     buckets = {f["bucket"] for f in cdc2.table.snapshot().files}
     assert max(buckets) > 3  # data actually spread into the new buckets
+
+
+def test_rebucket_conflict_leaves_no_meta_drift(spark, tmp_table_dir):
+    """A conflicted rebucket commit must leave ZERO trace: same bucket count
+    on this handle and fresh handles, same latest version, and point lookups
+    still hash with the right count (meta drift would silently miss rows).
+    Old snapshots keep resolving their own count after the retry succeeds."""
+    from mimic_spark.lakehouse import table as table_mod
+    from mimic_spark.lakehouse.maintenance import rebucket
+
+    spec = ChangelogSpec(n_events=1000, n_convs=30, n_chunks=2)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "changelog")
+    )
+    path = os.path.join(tmp_table_dir, "transcripts")
+    cdc = TranscriptCdc(spark, path, n_buckets=4)
+    run_batched(spark, cdc, chunks)
+    t = cdc.table
+    v_before = t.latest_version()
+
+    real_commit = table_mod.SnapshotTable.commit
+
+    def conflicted(self, **kw):
+        raise table_mod.CommitConflict("injected")
+
+    table_mod.SnapshotTable.commit = conflicted
+    try:
+        with pytest.raises(table_mod.CommitConflict):
+            rebucket(t, 16)
+    finally:
+        table_mod.SnapshotTable.commit = real_commit
+
+    assert t.n_buckets == 4
+    assert table_mod.SnapshotTable(spark, t.path).n_buckets == 4
+    assert t.latest_version() == v_before
+    k = cdc.read_published().select("conv_id", "turn_idx").first()
+    assert t.read_for_keys([(k["conv_id"], k["turn_idx"])]).count() >= 1
+
+    rebucket(t, 16)
+    assert t.n_buckets == 16
+    assert t.n_buckets_at(v_before) == 4  # time travel: per-version count
+
+
+def test_history_survives_expiry_holes(spark, tmp_table_dir):
+    """history() must enumerate the surviving snapshots after
+    expire_snapshots creates holes below the kept window, not assume
+    contiguous versions from 0."""
+    spec = ChangelogSpec(n_events=1000, n_convs=30, n_chunks=3)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "changelog")
+    )
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "transcripts"), n_buckets=4)
+    run_batched(spark, cdc, chunks)
+    t = cdc.table
+    expire_snapshots(t, keep_last=1)
+    h = t.history()
+    assert [s.version for s in h] == t.versions()
+    assert h[-1].version == t.latest_version()
+    assert 0 not in t.versions()
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.snapshot(0)
