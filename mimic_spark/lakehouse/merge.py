@@ -25,6 +25,15 @@ Execution shape (scale posture):
 - Only buckets touched by the source are read and rewritten (bucket-pruned
   COW).  Buckets hash the full (conv_id, turn_idx) key, so hot conversations
   spread uniformly — no skewed shuffle partition in the join.
+- **COW degenerates when a batch touches every bucket**: with uniform key
+  hashing, any batch of more than a few thousand events hits all n_buckets,
+  so bucket-pruned COW becomes a full-table rewrite per batch as the table
+  grows — write amplification O(table size / batch).  The default posture
+  for write-hot streams at scale is therefore ``mode='mor'`` (append deltas,
+  resolve on read, compaction amortized every ``compact_every`` batches),
+  with ``n_buckets`` scaled to table size (``rebucket`` as it grows).  COW
+  remains right for low-rate / wide-gap streams where a batch touches few
+  buckets and read-side resolution cost matters more than write cost.
 - Per-merge metrics ride a ``DataFrame.observe`` — collected during the write
   action itself, zero extra scan.
 - Commit is atomic and carries ``last_batch_id``/``lsn_hi`` markers — the

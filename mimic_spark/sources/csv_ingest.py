@@ -180,6 +180,10 @@ def ingest_csv_table(
     }
     if on_exists not in modes:
         raise ValueError(f"on_exists must be one of {sorted(modes)}")
+    # S2: csv_path may be a tar archive or a directory containing one —
+    # resolve to the member CSV named after the table
+    if os.path.isdir(csv_path) or _is_tar_archive(csv_path):
+        csv_path = resolve_csv_path(csv_path, table)
     if registry is not None and registry.should_skip(csv_path):
         log.info("fingerprint match, skipping reload of %s", csv_path)
         return 0
@@ -190,3 +194,88 @@ def ingest_csv_table(
     if registry is not None:
         registry.record(csv_path, rows)
     return rows
+
+
+# ------------------------------------------------------------------ S2: tar
+
+_EXTRACT_CACHE: dict[str, str] = {}
+
+
+def _is_tar_archive(path: str) -> bool:
+    n = os.path.basename(path).lower()
+    return n.endswith(".tar.gz") or n.endswith(".tgz") or n.endswith(".tar")
+
+
+def discover_csvs(folder: str) -> list[str]:
+    """CSV files (plain or compressed) directly inside a folder."""
+    import glob as _glob
+
+    out: list[str] = []
+    for ext in ("*.csv", "*.csv.gz", "*.csv.zip"):
+        out.extend(_glob.glob(os.path.join(folder, ext)))
+    return sorted(out)
+
+
+def resolve_source_dir(path: str) -> str:
+    """Resolve an ingest source that may be a directory or a tar archive
+    (S2; ref scripts/ingest_mimic_csv_to_duckdb.py:42-71).
+
+    - a ``.tar``/``.tar.gz``/``.tgz`` file is extracted once to a temp dir
+      (process-lifetime cache) with a path-traversal guard;
+    - a directory with CSVs resolves to itself;
+    - a directory with no CSVs but exactly one tar archive resolves into
+      that archive (the shape real MIMIC downloads arrive in).
+
+    Extraction is a driver-side preprocess by design: MIMIC tarballs are a
+    bounded number of member files, and Spark's CSV reader then scans the
+    extracted files with normal split parallelism — streaming tar members
+    through the JVM would serialize the read instead.
+    """
+    import tarfile
+    import tempfile
+
+    apath = os.path.abspath(os.path.expanduser(path))
+    if os.path.isfile(apath) and _is_tar_archive(apath):
+        if apath not in _EXTRACT_CACHE:
+            tmp_dir = tempfile.mkdtemp(prefix="mimic_spark_extract_")
+            with tarfile.open(apath, "r:*") as tf:
+                for member in tf.getmembers():
+                    mdest = os.path.realpath(os.path.join(tmp_dir, member.name))
+                    if not (mdest + os.sep).startswith(
+                        os.path.realpath(tmp_dir) + os.sep
+                    ):
+                        raise ValueError(f"unsafe path in tar archive: {member.name}")
+                try:
+                    tf.extractall(tmp_dir, filter="data")
+                except TypeError:  # pre-3.11.4 tarfile: no filter kwarg
+                    tf.extractall(tmp_dir)
+            # archives may nest everything under one top-level dir
+            root = tmp_dir
+            entries = os.listdir(root)
+            if not discover_csvs(root) and len(entries) == 1:
+                sub = os.path.join(root, entries[0])
+                if os.path.isdir(sub):
+                    root = sub
+            _EXTRACT_CACHE[apath] = root
+        return _EXTRACT_CACHE[apath]
+    if os.path.isdir(apath):
+        if discover_csvs(apath):
+            return apath
+        tars = sorted(
+            os.path.join(apath, n)
+            for n in os.listdir(apath)
+            if os.path.isfile(os.path.join(apath, n)) and _is_tar_archive(n)
+        )
+        if len(tars) == 1:
+            return resolve_source_dir(tars[0])
+    return apath
+
+
+def resolve_csv_path(source: str, table: str) -> str:
+    """Find table's CSV under a source that may be a dir or tarball."""
+    folder = resolve_source_dir(source)
+    for cand in (f"{table}.csv", f"{table}.csv.gz", f"{table}.csv.zip"):
+        p = os.path.join(folder, cand)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f"no CSV for table {table!r} under {source!r}")

@@ -141,3 +141,54 @@ def test_audit_gate(spark, tmp_table_dir):
         run_audit(cdc, expected_final_count=n + 1)
     rep3 = run_audit(cdc, expected_final_count=n + 1, fail_on_error=False)
     assert rep3.failures
+
+
+def test_tar_archive_ingest(spark, tmp_table_dir):
+    """S2: ingest_csv_table accepts a tarball (or a dir holding one) and
+    resolves the member CSV named after the table — the shape real MIMIC
+    downloads arrive in (ref ingest_mimic_csv_to_duckdb.py:42-71)."""
+    import tarfile
+
+    from mimic_spark.sources.csv_ingest import resolve_source_dir
+
+    src = os.path.join(tmp_table_dir, "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "patients.csv"), "w") as f:
+        f.write(CSV)
+    tar_path = os.path.join(tmp_table_dir, "mimic_demo.tar.gz")
+    with tarfile.open(tar_path, "w:gz") as tf:
+        tf.add(os.path.join(src, "patients.csv"), arcname="demo/patients.csv")
+
+    schema = parse_ddl(DDL)["patients"]
+    tgt = os.path.join(tmp_table_dir, "lake")
+
+    # tarball path directly
+    n = ingest_csv_table(spark, tar_path, schema, tgt, "patients")
+    assert n == 3
+    # a directory containing only the tarball resolves into it
+    holder = os.path.join(tmp_table_dir, "holder")
+    os.makedirs(holder)
+    os.link(tar_path, os.path.join(holder, "mimic_demo.tar.gz"))
+    resolved = resolve_source_dir(holder)
+    assert os.path.exists(os.path.join(resolved, "patients.csv"))
+    # extraction is cached: same resolved dir across calls
+    assert resolve_source_dir(tar_path) == resolve_source_dir(tar_path)
+
+
+def test_tar_traversal_rejected(tmp_table_dir):
+    """Unsafe member paths (../) must be rejected, never extracted."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from mimic_spark.sources.csv_ingest import resolve_source_dir
+
+    tar_path = os.path.join(tmp_table_dir, "evil.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        data = b"x,y\n1,2\n"
+        info = tarfile.TarInfo(name="../evil.csv")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    with _pytest.raises(ValueError, match="unsafe path"):
+        resolve_source_dir(tar_path)
