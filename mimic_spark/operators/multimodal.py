@@ -59,37 +59,98 @@ def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(encode, schema=MEDIA_SCHEMA)
 
 
-def decode_media_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched 'decode': parses the binary header (real) and emits
-    deterministic fake features where a codec would run.
+def _codec_modules():
+    """Try-import real codec libraries ONCE per executor worker process.
 
-    PRODUCTION: replace the feature block with PIL.Image.open /
-    soundfile.read — the mapInPandas signature, schema and partitioning are
-    unchanged.  A real decoder import would look like:
-        try:
-            from PIL import Image  # not in this sandbox image
-        except ImportError:
-            raise NotImplementedError("image codec unavailable; stub active")
-    """
+    Returns (PIL.Image module or None, soundfile module or None).  Cached in
+    a module global so the import cost is paid once per Python worker, not
+    per Arrow batch."""
+    global _CODECS
+    try:
+        return _CODECS
+    except NameError:
+        pass
+    try:
+        from PIL import Image as _img  # noqa: PLC0415
+    except ImportError:
+        _img = None
+    try:
+        import soundfile as _snd  # noqa: PLC0415
+    except ImportError:
+        _snd = None
+    _CODECS = (_img, _snd)
+    return _CODECS
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode a single payload to (width, height, features).
+
+    Runtime decoder selection: real image/audio formats go to PIL/soundfile
+    when those libraries exist on the worker; the deterministic FAKE format
+    (and real formats on codec-less workers like this sandbox) go to the
+    stub path.  Same output contract either way — the Spark plan, schema,
+    partitioning and Arrow batch shape never change."""
+    magic4 = bytes(payload[:4])
+    if magic4 == b"FAKE":
+        _, w, h = struct.unpack_from("<4sii", payload)
+        body = payload[12:]
+        s = sum(body) or 1
+        feats = [
+            round(len(body) / 64.0, 6),
+            round(s / (255.0 * max(len(body), 1)), 6),
+            round((body[0] if body else 0) / 255.0, 6),
+            round((body[-1] if body else 0) / 255.0, 6),
+        ]
+        return w, h, feats
+    img_mod, snd_mod = _codec_modules()
+    if magic4 == b"\x89PNG" or magic4.startswith(b"\xff\xd8"):
+        if img_mod is None:
+            raise NotImplementedError(
+                "real image payload but no image codec on this worker "
+                "(pip install pillow); deterministic stub handles FAKE only"
+            )
+        import io  # noqa: PLC0415
+
+        im = img_mod.open(io.BytesIO(bytes(payload))).convert("L")
+        w, h = im.size
+        px = list(im.getdata())
+        mean = (sum(px) / (255.0 * len(px))) if px else 0.0
+        return w, h, [
+            round(len(payload) / 64.0, 6),
+            round(mean, 6),
+            round(px[0] / 255.0, 6) if px else 0.0,
+            round(px[-1] / 255.0, 6) if px else 0.0,
+        ]
+    if magic4 == b"RIFF":
+        if snd_mod is None:
+            raise NotImplementedError(
+                "real audio payload but no audio codec on this worker "
+                "(pip install soundfile)"
+            )
+        import io  # noqa: PLC0415
+
+        data, rate = snd_mod.read(io.BytesIO(bytes(payload)))
+        n = int(getattr(data, "shape", [len(data)])[0])
+        return n, int(rate), [
+            round(n / 64.0, 6),
+            round(float(abs(data).mean()), 6) if n else 0.0,
+            round(float(data[0] if data.ndim == 1 else data[0][0]), 6) if n else 0.0,
+            round(float(data[-1] if data.ndim == 1 else data[-1][0]), 6) if n else 0.0,
+        ]
+    raise ValueError(f"bad media magic: {magic4!r}")
+
+
+def decode_media_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode: per-payload runtime decoder selection via
+    ``_decode_one`` — real codecs (PIL/soundfile) when importable on the
+    worker, the deterministic FAKE-format stub otherwise/always for FAKE."""
     for pdf in batches:
         widths, heights, feats = [], [], []
         for payload in pdf["payload"]:
-            magic, w, h = struct.unpack_from("<4sii", payload)
-            if magic != b"FAKE":
-                raise ValueError("bad media magic")
+            w, h, fv = _decode_one(payload)
             widths.append(w)
             heights.append(h)
-            body = payload[12:]
-            # deterministic fake "embedding": byte histogram moments
-            s = sum(body) or 1
-            feats.append(
-                [
-                    round(len(body) / 64.0, 6),
-                    round(s / (255.0 * max(len(body), 1)), 6),
-                    round((body[0] if body else 0) / 255.0, 6),
-                    round((body[-1] if body else 0) / 255.0, 6),
-                ]
-            )
+            feats.append(fv)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -375,3 +375,17 @@ def replay_oracle_py(
                 "ts": ev["ts"],
             }
     return {k: v for k, v in state.items() if not v["_deleted"]}
+
+
+def workflow_generate(spark, conf: dict) -> dict:
+    """`type: "py"` workflow step: materialize a deterministic changelog.
+
+    Conf keys: changelog_dir (required), n_events, n_convs, n_chunks.
+    The role of the reference's source-extraction stage in full.etlconf."""
+    spec = ChangelogSpec(
+        n_events=int(conf.get("n_events", 8000)),
+        n_convs=int(conf.get("n_convs", 160)),
+        n_chunks=int(conf.get("n_chunks", 6)),
+    )
+    paths = write_changelog_chunks(spark, spec, conf["changelog_dir"])
+    return {"chunks": len(paths), "n_events": spec.n_events}

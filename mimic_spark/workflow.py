@@ -113,7 +113,11 @@ class Workflow:
     def _run_py(self, step: dict) -> Any:
         mod_name, _, fn_name = step["callable"].partition(":")
         fn = getattr(importlib.import_module(mod_name), fn_name)
-        return fn(self.spark, merge_config(self.conf, step.get("conf", {})))
+        sconf = {
+            k: (self._sub(v) if isinstance(v, str) else v)
+            for k, v in step.get("conf", {}).items()
+        }
+        return fn(self.spark, merge_config(self.conf, sconf))
 
     def _run_ingest(self, step: dict) -> dict:
         from mimic_spark.sources.csv_ingest import (
@@ -145,6 +149,20 @@ class Workflow:
         from mimic_spark.streaming.cdc import run_stream
 
         table = self._sub(step["table"])
+        # batch mode: chunks may be listed explicitly or discovered from a
+        # changelog dir (the shape workflow_generate materializes)
+        if "chunks" not in step and step.get("changelog") and step.get("mode", "batch") == "batch":
+            import os as _os
+
+            cdir = self._sub(step["changelog"])
+            step = {
+                **step,
+                "chunks": sorted(
+                    _os.path.join(cdir, n)
+                    for n in _os.listdir(cdir)
+                    if n.startswith("chunk-")
+                ),
+            }
         if step.get("mode", "batch") == "stream":
             cdc = run_stream(
                 self.spark,

@@ -293,3 +293,29 @@ def test_history_survives_expiry_holes(spark, tmp_table_dir):
     assert 0 not in t.versions()
     with pytest.raises(FileNotFoundError, match="expired"):
         t.snapshot(0)
+
+
+def test_decoder_runtime_selection():
+    """_decode_one dispatches per payload magic: FAKE -> stub; real formats
+    raise a clear NotImplementedError on codec-less workers (this sandbox),
+    and would route to PIL/soundfile where installed."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from mimic_spark.operators.multimodal import _codec_modules, _decode_one
+
+    fake = _struct.pack("<4sii", b"FAKE", 32, 16) + b"hello"
+    w, h, feats = _decode_one(fake)
+    assert (w, h) == (32, 16) and len(feats) == 4
+
+    img_mod, snd_mod = _codec_modules()
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    if img_mod is None:
+        with _pytest.raises(NotImplementedError, match="image codec"):
+            _decode_one(png)
+    if snd_mod is None:
+        with _pytest.raises(NotImplementedError, match="audio codec"):
+            _decode_one(b"RIFF" + b"\x00" * 16)
+    with _pytest.raises(ValueError, match="bad media magic"):
+        _decode_one(b"ZZZZ" + b"\x00" * 16)

@@ -137,3 +137,67 @@ def test_driver_state_is_o1_after_reopen(spark, tmp_table_dir):
     assert isinstance(cdc2._ledger_hwm, int)
     assert cdc2._ledger_hwm == len(chunks) - 1
     assert not hasattr(cdc2, "_ledger_ids")
+
+
+def test_concurrent_writers_race_to_consistent_state(spark, tmp_table_dir):
+    """Two real threads racing merges on ONE table: CommitConflict retries
+    must interleave both writers' commits so the final state equals the
+    oracle (union of all batches), with one snapshot per successful merge."""
+    import threading
+
+    from pyspark.sql import types as T
+
+    from mimic_spark.lakehouse.merge import ensure_internal_schema, merge_into
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    path = os.path.join(tmp_table_dir, "race_tbl")
+    t = SnapshotTable.create(
+        spark, path, ensure_internal_schema(schema), ["conv_id", "turn_idx"], 2
+    )
+
+    n_writers, merges_each = 2, 3
+    batches: dict[tuple[int, int], list] = {}
+    for w in range(n_writers):
+        for m in range(merges_each):
+            batches[(w, m)] = [
+                (f"w{w}b{m}k{i}", i, "insert", w * 100 + m * 10 + i, f"txt-{w}-{m}-{i}")
+                for i in range(5)
+            ]
+    bschema = "conv_id string, turn_idx int, op string, lsn long, text string"
+
+    barrier = threading.Barrier(n_writers)
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            handle = SnapshotTable(spark, path)  # own handle, like a real job
+            barrier.wait()
+            for m in range(merges_each):
+                df = spark.createDataFrame(batches[(w, m)], bschema)
+                merge_into(handle, df, batch_id=None, max_retries=20)
+        except Exception as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    total = n_writers * merges_each
+    assert t.latest_version() == total  # one snapshot per successful merge
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in t.read().filter("NOT _deleted OR _deleted IS NULL").collect()
+    }
+    want = {
+        (r[0], r[1]): r[4] for rows in batches.values() for r in rows
+    }
+    assert got == want

@@ -90,3 +90,37 @@ GROUP BY r.role_id, t.role;
     ]
     with pytest.raises(AuditError):
         run_workflow(spark, conf_bad)
+
+
+def test_full_workflow_conf_reproduces_flagship(spark, tmp_table_dir):
+    """The checked-in conf/full.workflow.json (the reference's full.etlconf
+    role) reproduces the flagship catalog result in ONE run_workflow call:
+    generate -> cdc -> quality -> audit, published table identical to
+    cdc_transcripts_final (same deterministic spec)."""
+    import json
+
+    from mimic_spark.operators.cdc_flagship import run_cdc_flagship
+
+    with open("/root/repo/conf/full.workflow.json") as f:
+        conf = json.load(f)
+    conf["variables"]["workdir"] = tmp_table_dir
+
+    results = run_workflow(spark, conf)
+    assert [r["name"] for r in results] == [
+        "gen_changelog", "apply_cdc", "quality", "gate",
+    ]
+    assert results[0]["result"]["chunks"] == 6
+    assert all(c["passed"] for c in results[2]["result"])
+    assert all(v["ok"] for v in results[3]["result"].values())
+
+    got = sorted(
+        tuple(r)
+        for r in spark.table("transcripts")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in run_cdc_flagship(spark).collect()
+    )
+    assert got == want
