@@ -124,3 +124,56 @@ def test_full_workflow_conf_reproduces_flagship(spark, tmp_table_dir):
         for r in run_cdc_flagship(spark).collect()
     )
     assert got == want
+
+
+def test_vocabulary_refresh_conf(spark, tmp_table_dir):
+    """conf/vocabulary_refresh.workflow.json — the reference's config-driven
+    vocab refresh (vocabulary_refresh.py -s10/-s20 + custom_vocabularies.sql):
+    standard + custom CSVs in, refreshed concept table out with custom
+    precedence on (vocabulary_id, concept_code) and the 2e9 id offset."""
+    import json
+
+    os.makedirs(os.path.join(tmp_table_dir, "athena"))
+    os.makedirs(os.path.join(tmp_table_dir, "custom_mapping_csv"))
+    with open(os.path.join(tmp_table_dir, "vocab.ddl.sql"), "w") as f:
+        f.write(
+            "CREATE TABLE concept (concept_id INTEGER, concept_name VARCHAR(64),"
+            " vocabulary_id VARCHAR(16), concept_code VARCHAR(16));"
+            "CREATE TABLE tmp_custom_mapping (concept_id INTEGER,"
+            " concept_name VARCHAR(64), vocabulary_id VARCHAR(16),"
+            " concept_code VARCHAR(16));"
+        )
+    with open(os.path.join(tmp_table_dir, "athena", "concept.csv"), "w") as f:
+        f.write(
+            "concept_id,concept_name,vocabulary_id,concept_code\n"
+            "1,Aspirin,RxNorm,A1\n"
+            "2,Warfarin,RxNorm,W1\n"
+            "3,Glucose,LOINC,G1\n"
+        )
+    with open(
+        os.path.join(tmp_table_dir, "custom_mapping_csv", "tmp_custom_mapping.csv"), "w"
+    ) as f:
+        f.write(
+            "concept_id,concept_name,vocabulary_id,concept_code\n"
+            "10,Aspirin (site),RxNorm,A1\n"   # overrides standard A1
+            "11,Local obs,mimiciv_obs,X9\n"   # brand-new custom concept
+        )
+
+    with open("/root/repo/conf/vocabulary_refresh.workflow.json") as f:
+        conf = json.load(f)
+    conf["variables"]["workdir"] = tmp_table_dir
+
+    results = run_workflow(spark, conf)
+    assert results[0]["result"]["concept"] == 3
+    assert results[1]["result"]["tmp_custom_mapping"] == 2
+    assert all(c["passed"] for c in results[3]["result"])
+
+    rows = {
+        (r["vocabulary_id"], r["concept_code"]): r
+        for r in spark.table("concept_refreshed").collect()
+    }
+    assert len(rows) == 4  # 3 standard, 1 overridden, 1 new
+    assert rows[("RxNorm", "A1")]["vocab_source"] == "custom"
+    assert rows[("RxNorm", "A1")]["concept_id"] == 2000000010
+    assert rows[("RxNorm", "W1")]["vocab_source"] == "standard"
+    assert rows[("mimiciv_obs", "X9")]["concept_id"] == 2000000011
