@@ -385,3 +385,51 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") != F.col("cluster_id")).alias("is_dup"),
     )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    family="training-data: edit-distance near-dup with blocking (equi-join on block key, no all-pairs)",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         lower(regexp_split_to_array(trim(text), '\\s+')[1]) AS block_key,
+         substring(lower(trim(text)), 1, 80) AS head
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(levenshtein(a.head, b.head) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 20
+""",
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup on the doc head (first 80 chars), BLOCKED on
+    the first word: the self-join is an equi-join on the block key, so the
+    quadratic cost is per block, never corpus-wide — the classic blocking
+    trick that keeps pairwise edit distance usable at scale.  levenshtein
+    itself is a JVM built-in (no UDF)."""
+    (d,) = load_tables(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.lower(F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)).alias(
+            "block_key"
+        ),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 80).alias("head"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )

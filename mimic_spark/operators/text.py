@@ -172,3 +172,156 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("fingerprint"),
         )
     )
+
+
+@register(
+    "text_redact_pii",
+    family="training-data: PII redaction (regexp_replace scrub of emails/phones before training)",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         concat(substring(text, 1, 40), ' contact user', doc_id,
+                '@example.com or +1 555-', lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0'),
+                '-', lpad(cast(doc_id % 97 AS VARCHAR), 4, '0'), ' now') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '\\+?[0-9]{1,3}[- ]?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}',
+         '<PHONE>', 'g') AS redacted,
+       cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+FROM seeded
+""",
+)
+def text_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub: the standard pre-training redaction pass.  The PII is
+    seeded deterministically into the text (the synthetic corpus has none)
+    so the regexes are exercised for real on every row; both engines build
+    the identical seeded string.  Pure JVM regexp_replace — no UDF."""
+    (d,) = load_tables(spark, sf, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9]{1,3}[- ]?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}"
+    seeded = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 97).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    s = d.select("doc_id", seeded.alias("text"))
+    return s.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(email_re)).cast("long").alias("n_emails"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    family="training-data: per-doc top terms by TF with document-frequency rarity tiebreak (vocab/IDF build)",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word)
+SELECT doc_id, word, cast(tf AS BIGINT) AS tf, cast(df AS BIGINT) AS df
+FROM (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.word) AS rn
+  FROM tf JOIN df USING (word)
+) WHERE rn <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary/IDF build: term frequency per doc joined to corpus document
+    frequency, top-3 terms per doc by TF with rarity (low df) tiebreak.
+    Integer-only ordering keeps the oracle hash float-free.  Plan: explode ->
+    two hash aggs -> broadcast-joined df (vocab is small relative to corpus)
+    -> per-doc window top-k."""
+    (d,) = load_tables(spark, sf, "documents")
+    from pyspark.sql import Window as W
+
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word")
+    )
+    return (
+        tf.join(F.broadcast(df), "word")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("doc_id", "word", F.col("tf").cast("long"), F.col("df").cast("long"))
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    family="training-data: train/test contamination check via shingle containment (n-gram overlap vs held-out set)",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+    FROM words)
+),
+test_sh AS (SELECT doc_id AS test_id, shingle FROM sh WHERE doc_id % 10 = 0),
+train_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM train_sh GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, s.test_id, count(*) AS c
+  FROM train_sh t JOIN test_sh s USING (shingle)
+  GROUP BY t.doc_id, s.test_id
+)
+SELECT h.doc_id AS doc_id, h.test_id AS test_id,
+       round(h.c * 1.0 / z.n, 4) AS containment
+FROM hits h JOIN sizes z USING (doc_id)
+WHERE h.c * 1.0 / z.n >= 0.3
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination scan: for every training doc, shingle
+    containment against a held-out 'test set' (docs with doc_id % 10 == 0
+    stand in for the benchmark).  Flags train docs whose 3-gram containment
+    vs some test doc is >= 0.3 — the standard n-gram decontamination pass.
+    Plan: one shingle explode, split into train/test streams, equi-join on
+    shingle (the test side is the small one — broadcastable at real scale),
+    count per (train, test) pair.  No all-pairs product."""
+    from mimic_spark.operators.dedup import _shingles
+
+    (d,) = load_tables(spark, sf, "documents")
+    sh = _shingles(d)
+    test_sh = sh.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("test_id"), "shingle"
+    )
+    train_sh = sh.filter(F.col("doc_id") % 10 != 0)
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        train_sh.join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    containment = F.col("c") * 1.0 / F.col("n")
+    return (
+        hits.join(sizes, "doc_id")
+        .filter(containment >= 0.3)
+        .select("doc_id", "test_id", F.round(containment, 4).alias("containment"))
+    )

@@ -92,7 +92,13 @@ def windowed_rate_metrics(
 ):
     """Event-time windowed ingest-rate rollup with a watermark for late LSNs
     (SURVEY §2.9: tumbling-window metric rollups). Returns a streaming
-    DataFrame; callers attach a sink (tests use the memory sink)."""
+    DataFrame; callers attach a sink (tests use the memory sink).
+
+    Scope note: the watermark bounds state for THIS windowed aggregation
+    only.  The transcripts table itself needs no watermark — late/replayed
+    events are handled by the merge path's LSN monotonicity guard, which
+    converges under arbitrary lateness (merge.py); event-time watermarking
+    there would add nothing but a drop policy the guard already subsumes."""
     stream = spark.readStream.schema(CHANGELOG_SCHEMA).parquet(changelog_glob)
     return (
         stream.withWatermark("ts", watermark)
