@@ -163,6 +163,19 @@ class Workflow:
                     if n.startswith("chunk-")
                 ),
             }
+        if step.get("mode") == "attach":
+            # open an existing table without applying anything — the shape
+            # report/metrics workflows use (reference workflow_metrics.conf)
+            from mimic_spark.streaming.apply import TranscriptCdc as _T
+
+            cdc = _T(self.spark, table, n_buckets=int(step.get("n_buckets", 32)))
+            self._last_cdc = cdc
+            if step.get("register"):
+                cdc.read_published().createOrReplaceTempView(step["register"])
+            return {
+                "watermark": cdc.high_watermark(),
+                "version": cdc.table.latest_version(),
+            }
         if step.get("mode", "batch") == "stream":
             cdc = run_stream(
                 self.spark,

@@ -227,3 +227,29 @@ def test_export_published_roundtrip(spark, tmp_table_dir):
     rep2 = export_published(cdc, out, format="parquet", table="transcripts_pq")
     got2 = sorted(tuple(r) for r in spark.read.parquet(rep2["path"]).collect())
     assert got2 == want
+
+
+def test_pyfiles_zip_builds_and_imports(tmp_table_dir):
+    """tools/make_pyfiles_zip.py produces a spark-submit --py-files archive
+    the package imports from (the cluster submission path)."""
+    import subprocess
+    import sys
+    import zipfile
+
+    out = os.path.join(tmp_table_dir, "mimic_spark.zip")
+    from tools.make_pyfiles_zip import build
+
+    build(out)
+    names = zipfile.ZipFile(out).namelist()
+    assert "mimic_spark/job.py" in names
+    assert "mimic_spark/lakehouse/merge.py" in names
+    assert not any("__pycache__" in n for n in names)
+    # importable from the archive in a clean interpreter (zipimport path)
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import mimic_spark.config, mimic_spark.workflow; print('ok')" % out
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
+    )
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr

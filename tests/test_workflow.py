@@ -177,3 +177,34 @@ def test_vocabulary_refresh_conf(spark, tmp_table_dir):
     assert rows[("RxNorm", "A1")]["concept_id"] == 2000000010
     assert rows[("RxNorm", "W1")]["vocab_source"] == "standard"
     assert rows[("mimiciv_obs", "X9")]["concept_id"] == 2000000011
+
+
+def test_metrics_workflow_conf(spark, tmp_table_dir):
+    """conf/metrics.workflow.json (the reference's workflow_metrics.conf
+    role): attach an existing table, build report views for human review."""
+    import json
+
+    chunks = write_changelog_chunks(
+        spark,
+        ChangelogSpec(n_events=1500, n_convs=40, n_chunks=2),
+        os.path.join(tmp_table_dir, "changelog"),
+    )
+    from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "transcripts"), n_buckets=4)
+    run_batched(spark, cdc, chunks)
+    n = cdc.read_published().count()
+
+    with open("/root/repo/conf/metrics.workflow.json") as f:
+        conf = json.load(f)
+    conf["variables"]["table"] = os.path.join(tmp_table_dir, "transcripts")
+    results = run_workflow(spark, conf)
+    assert results[0]["result"]["watermark"] is not None
+
+    totals = spark.table("me_totals").collect()[0]
+    assert totals["n_rows"] == n and totals["n_convs"] > 0
+    roles = {r["role"]: r for r in spark.table("me_role_distribution").collect()}
+    assert abs(sum(float(r["pct"]) for r in roles.values()) - 100.0) < 0.5
+    top = spark.table("me_top_conversations").collect()
+    assert len(top) <= 100 and top[0]["n_turns"] >= top[-1]["n_turns"]
+    assert spark.table("me_tool_usage").count() >= 1
