@@ -296,3 +296,33 @@ def test_era_variable_intervals_swallow_case(spark):
         .collect()[0]["mx"]
     )
     assert fused == 1
+
+
+def test_new_ops_plan_shapes(spark):
+    """Round-2 ops keep 100x-safe plans: broadcast joins where the small
+    side is known, no cartesian products, no row-at-a-time Python."""
+    from mimic_spark.plans.explain import plan_facts
+
+    def plan_of(name):
+        df = OPS[name].fn(spark, SF)
+        return plan_facts(df), df._jdf.queryExecution().executedPlan().toString()
+
+    facts, plan = plan_of("tfidf_top_terms")
+    assert facts["row_python"] == 0 and facts["bnl_join"] == 0
+    assert facts["broadcast_hash_join"] >= 1  # df (vocab) side broadcast
+
+    facts, plan = plan_of("contamination_ngram_overlap")
+    assert facts["row_python"] == 0 and facts["bnl_join"] == 0
+    assert facts["broadcast_hash_join"] >= 1  # test-set side broadcast
+    assert "CartesianProduct" not in plan
+
+    facts, plan = plan_of("dedup_levenshtein_blocked")
+    assert facts["row_python"] == 0
+    assert "CartesianProduct" not in plan  # block key makes it an equi-join
+
+    facts, plan = plan_of("text_redact_pii")
+    assert facts["row_python"] == 0 and facts["arrow_python"] == 0  # pure JVM regex
+
+    facts, plan = plan_of("era_variable_intervals")
+    assert facts["row_python"] == 0
+    assert facts["exchanges"] == 1  # one user_id shuffle reused end-to-end
