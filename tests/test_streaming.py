@@ -199,3 +199,34 @@ def test_stream_mor_mode(spark, tmp_table_dir):
         compact_every=2,
     )
     assert _published_rows(cdc) == _oracle_rows(SPEC)
+
+
+def test_normalize_arrow_equals_python_twin_fuzz():
+    """_normalize_series (pyarrow/RE2 path) must stay byte-identical to
+    normalize_text_py — the replay oracle depends on it. Fuzzes control
+    chars, unicode separators, combining accents, NBSP, zero-width chars."""
+    import random
+
+    import pandas as pd
+
+    from mimic_spark.functions.normalize import _normalize_series, normalize_text_py
+
+    rng = random.Random(1234)
+    alphabet = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + ["\t", "\n", "\r", "\x00", "\x07", "\x0b", "\x1f", "\x7f", "\x85",
+           "\xa0", " ", " ", "　", "​", "é", "\xe9",
+           "\xf1", "字"]
+    )
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(2000)
+    ]
+    cases += ["", None, "   ", "\n", "plain ascii", "caf\xe9  créme"]
+    got = _normalize_series(pd.Series(cases, dtype=object)).tolist()
+    want = [normalize_text_py(c) for c in cases]
+    for c, g, w in zip(cases, got, want):
+        if w is None:
+            assert g is None or (isinstance(g, float))  # NaN for None is fine
+        else:
+            assert g == w, (repr(c), repr(g), repr(w))
