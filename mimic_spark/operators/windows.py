@@ -360,3 +360,35 @@ def era_variable_intervals(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_exposures").cast("long").alias("n_exposures"),
         F.count(F.lit(1)).alias("n_sub_eras"),
     )
+
+
+@register(
+    "window_rank_family",
+    family="W-breadth: rank/dense_rank/percent_rank/ntile/cume_dist (full ranking-function surface)",
+    oracle="""
+SELECT event_id, user_id,
+       cast(rank() OVER w AS BIGINT) AS rnk,
+       cast(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       cast(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete ranking-function family over one window — rounds out
+    §2.5 beyond the row_number/lag/first_value forms the reference leans on.
+    (event_id tiebreak keeps every function deterministic.)"""
+    (e,) = load_tables(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.filter(F.col("user_id") < 20).select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

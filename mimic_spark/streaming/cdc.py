@@ -117,3 +117,36 @@ def windowed_rate_metrics(
             "lsn_hi",
         )
     )
+
+
+def session_window_rollup(
+    spark: SparkSession,
+    changelog_glob: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Event-time SESSION-window rollup per conversation (SURVEY §2.9):
+    events within `gap` of each other merge into one session whose end is
+    last-event-time + gap — Structured Streaming's native stateful
+    sessionization (state evicted by the watermark, so state size is bounded
+    by active sessions, not stream length).
+
+    Batch twin for tests: operators.windows.merge_intervals over
+    [ts, ts+gap) intervals — identical session boundaries by construction.
+    """
+    stream = spark.readStream.schema(CHANGELOG_SCHEMA).parquet(changelog_glob)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lsn").alias("lsn_hi"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "conv_id",
+            "n_events",
+            "lsn_hi",
+        )
+    )

@@ -230,3 +230,55 @@ def test_normalize_arrow_equals_python_twin_fuzz():
             assert g is None or (isinstance(g, float))  # NaN for None is fine
         else:
             assert g == w, (repr(c), repr(g), repr(w))
+
+
+def test_session_window_rollup_matches_batch_twin(spark, tmp_table_dir):
+    """Streaming session_window sessions == batch merge_intervals over
+    [ts, ts+gap) — same boundaries by construction (§2.9 native stateful
+    sessionization, state bounded by the watermark)."""
+    from pyspark.sql import functions as F
+
+    from mimic_spark.operators.windows import merge_intervals
+    from mimic_spark.streaming.cdc import session_window_rollup
+
+    spec = ChangelogSpec(n_events=2000, n_convs=40, n_chunks=2)
+    write_changelog_chunks(spark, spec, os.path.join(tmp_table_dir, "changelog"))
+
+    agg = session_window_rollup(
+        spark, os.path.join(tmp_table_dir, "changelog", "chunk-*"), gap="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_rollup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.table("session_rollup")
+        .select("conv_id", "session_start", "session_end", "n_events")
+        .collect()
+    )
+
+    ev = spark.read.parquet(os.path.join(tmp_table_dir, "changelog", "chunk-*"))
+    iv = ev.select(
+        "conv_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in merge_intervals(iv, ["conv_id"], gap_seconds=0)
+        .groupBy("conv_id", "era_id")
+        .agg(
+            F.min("start_ts").alias("session_start"),
+            F.max("end_ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("conv_id", "session_start", "session_end", "n_events")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
