@@ -268,3 +268,48 @@ def ann_ivf_probe(spark: SparkSession, sf: str) -> DataFrame:
         .filter(f"rn <= {TOP_K}")
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    family="training-data: symmetric int8 embedding quantization (vector storage/serving compression)",
+    oracle="""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS max_abs
+  FROM e
+)
+SELECT vec_id,
+       cast(round(max_abs * 10000) AS BIGINT) AS max_abs_e4,
+       array_to_string(
+         list_transform(v, x -> cast(
+           CASE WHEN max_abs = 0 THEN 0
+                ELSE round(x * 127.0 / max_abs) END AS INTEGER)), ',') AS q8
+FROM m
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard compression for
+    embedding storage/ANN serving (scale = 127/max|x|).  All JVM
+    higher-order functions; output serialized to keep the oracle hashable.
+    At scale this is a pure map stage — no shuffle, columnar in, columnar
+    out."""
+    (e,) = load_tables(spark, sf, "embeddings")
+    v = F.col("v")
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        v,
+        lambda x: F.when(F.col("max_abs") == 0, F.lit(0))
+        .otherwise(F.round(x * 127.0 / F.col("max_abs")))
+        .cast("int"),
+    )
+    return (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("max_abs", m)
+        .select(
+            "vec_id",
+            F.round(F.col("max_abs") * 10000).cast("long").alias("max_abs_e4"),
+            F.array_join(F.transform(q, lambda i: i.cast("string")), ",").alias("q8"),
+        )
+    )

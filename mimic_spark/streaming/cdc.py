@@ -150,3 +150,24 @@ def session_window_rollup(
             "lsn_hi",
         )
     )
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    changelog_glob: str,
+    watermark: str = "2 hours",
+):
+    """Absorb duplicate deliveries in-stream via dropDuplicatesWithinWatermark
+    (SURVEY §2.9): one output row per (conv_id, turn_idx, lsn) among events
+    whose event times fall within the watermark of each other, with state
+    auto-evicted past it.
+
+    Role: the dedup layer for sinks WITHOUT idempotent commit markers (plain
+    append sinks, external queues).  The engine's own table sink does not
+    need it — duplicate deliveries collapse in the per-batch row_number pass
+    and replays are no-ops via the (batch_id, lsn_hi) marker — but a
+    complete CDC toolkit offers both."""
+    stream = spark.readStream.schema(CHANGELOG_SCHEMA).parquet(changelog_glob)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx", "lsn"]
+    )

@@ -282,3 +282,30 @@ def test_session_window_rollup_matches_batch_twin(spark, tmp_table_dir):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_table_dir):
+    """Duplicate deliveries (the generator emits them) collapse to one row
+    per (conv_id, turn_idx, lsn); non-duplicates all survive."""
+    from mimic_spark.streaming.cdc import stream_dedup_within_watermark
+
+    spec = ChangelogSpec(n_events=2000, n_convs=40, n_chunks=2)
+    write_changelog_chunks(spark, spec, os.path.join(tmp_table_dir, "changelog"))
+    glob = os.path.join(tmp_table_dir, "changelog", "chunk-*")
+
+    deduped = stream_dedup_within_watermark(spark, glob)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dd_stream").count()
+
+    raw = spark.read.parquet(glob)
+    n_raw = raw.count()
+    n_distinct = raw.select("conv_id", "turn_idx", "lsn").distinct().count()
+    assert n_distinct < n_raw  # generator really does emit duplicates
+    assert got == n_distinct
