@@ -296,8 +296,17 @@ class SnapshotTable:
                 os.path.join(self.path, f["path"])
             )
         parts = []
+        # column renames are version-scoped props (like n_buckets): files
+        # keep their written-at column names; the rename map translates them
+        # at read time — the role Iceberg's field IDs play, without touching
+        # a byte of data
+        renames: dict[str, str] = snap.props.get("renames") or {}
         for sid, paths in sorted(by_schema.items()):
             df = self.spark.read.schema(snap.schemas[sid]).parquet(*paths)
+            if renames:
+                df = df.select(
+                    *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+                )
             parts.append(self._align(df, snap.schema))
         out = parts[0]
         for p in parts[1:]:
@@ -439,6 +448,40 @@ class SnapshotTable:
             schemas=schemas,
             files=files,
             props=props,
+        )
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Rename a (non-key) column — metadata-only schema evolution.
+
+        Commits a snapshot whose schema carries the new name plus a
+        version-scoped rename map; no data files are rewritten (old files
+        keep the old parquet column name and are translated at read time).
+        Time travel to pre-rename versions still shows the old name, exactly
+        like Iceberg's field-id-based renames."""
+        base = self.snapshot()
+        if old in self.key_cols:
+            raise ValueError(f"cannot rename key column {old!r}")
+        names = [f.name for f in base.schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in current schema {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        renames = dict(base.props.get("renames") or {})
+        # chain-flatten: files named for ANY historical name resolve to `new`
+        renames = {k: (new if v == old else v) for k, v in renames.items()}
+        renames[old] = new
+        schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in base.schema.fields
+            ]
+        )
+        return self.commit(
+            base=base,
+            op="rename_column",
+            files=base.files,
+            schema=schema,
+            props_update={"renames": renames},
         )
 
     # ---------- convenience batch ops ----------

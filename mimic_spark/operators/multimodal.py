@@ -186,7 +186,21 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     family="training-data: frame-sampling plan over media (explode deterministic frame indices)",
-    oracle=None,
+    # the sampled frame indices are pure integer arithmetic on doc_id (the
+    # synthetic media metadata is doc_id-derived), so the plan IS oracle-able
+    # even though the payload bytes aren't: the oracle recomputes the same
+    # indices without touching binary
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         (doc_id % 640 + 16) * (doc_id % 480 + 16) % 7 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT doc_id,
+       cast(unnest(generate_series(0, n_frames - 1)) * 10 + doc_id % 10
+            AS BIGINT) AS frame_idx
+FROM m
+""",
 )
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video-style frame sampling: JVM-side index synthesis (sequence +

@@ -319,3 +319,59 @@ def test_decoder_runtime_selection():
             _decode_one(b"RIFF" + b"\x00" * 16)
     with _pytest.raises(ValueError, match="bad media magic"):
         _decode_one(b"ZZZZ" + b"\x00" * 16)
+
+
+def test_rename_column_evolution(spark, tmp_table_dir):
+    """Metadata-only column rename: no data rewrite, old files translate at
+    read time, time travel shows each version's own name, chained renames
+    flatten, key columns are protected."""
+    from pyspark.sql import types as T
+
+    from mimic_spark.lakehouse.merge import ensure_internal_schema
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    path = os.path.join(tmp_table_dir, "ren_tbl")
+    t = SnapshotTable.create(
+        spark, path, ensure_internal_schema(schema), ["conv_id", "turn_idx"], 2
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 0, "hello", 1, False)],
+            "conv_id string, turn_idx int, text string, _lsn long, _deleted boolean",
+        )
+    )
+    v_before = t.latest_version()
+    files_before = {f["path"] for f in t.snapshot().files}
+
+    t.rename_column("text", "body")
+    assert {f["path"] for f in t.snapshot().files} == files_before  # no rewrite
+    assert "body" in t.read().columns and "text" not in t.read().columns
+    assert t.read().filter("conv_id = 'a'").first()["body"] == "hello"
+    # time travel: pre-rename version keeps the old name
+    assert "text" in t.read(version=v_before).columns
+
+    # new writes use the new name; both generations read together
+    t.append(
+        spark.createDataFrame(
+            [("b", 1, "world", 2, False)],
+            "conv_id string, turn_idx int, body string, _lsn long, _deleted boolean",
+        )
+    )
+    got = {r["conv_id"]: r["body"] for r in t.read().collect()}
+    assert got == {"a": "hello", "b": "world"}
+
+    # chained rename flattens: files named text OR body resolve to content
+    t.rename_column("body", "content")
+    got2 = {r["conv_id"]: r["content"] for r in t.read().collect()}
+    assert got2 == {"a": "hello", "b": "world"}
+
+    with pytest.raises(ValueError, match="key column"):
+        t.rename_column("conv_id", "cid")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
