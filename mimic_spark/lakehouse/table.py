@@ -112,6 +112,31 @@ class Snapshot:
         return self.schemas[self.schema_id]
 
 
+def _footer_lsn_stats(parquet_path: str) -> tuple[int, int] | None:
+    """min/max of the `_lsn` column from the parquet footer (free: the
+    writer already computed row-group statistics).  Driver-side, no Spark
+    job — one footer read per file entry, the Iceberg manifest-stats role."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(parquet_path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "_lsn" not in idx:
+            return None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["_lsn"]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return int(lo), int(hi)
+    except Exception:  # stats are an optimization, never a correctness gate
+        return None
+
+
 def _atomic_create(path: str, text: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -288,6 +313,9 @@ class SnapshotTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        return self._read_files(snap, files, resolve)
+
+    def _read_files(self, snap: Snapshot, files, resolve: bool) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         by_schema: dict[int, list[str]] = {}
@@ -396,9 +424,15 @@ class SnapshotTable:
             b = int(sub.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, sub))):
                 if fn.endswith(".parquet"):
-                    entries.append(
-                        {"path": os.path.join(rel_dir, sub, fn), "bucket": b}
-                    )
+                    full = os.path.join(out_dir, sub, fn)
+                    entry: dict[str, Any] = {
+                        "path": os.path.join(rel_dir, sub, fn),
+                        "bucket": b,
+                    }
+                    stats = _footer_lsn_stats(full)
+                    if stats is not None:
+                        entry["lsn_lo"], entry["lsn_hi"] = stats
+                    entries.append(entry)
         return entries
 
     def _commit_snapshot(
@@ -449,6 +483,26 @@ class SnapshotTable:
             files=files,
             props=props,
         )
+
+    def read_changes_since(self, lsn: int, version: int | None = None) -> DataFrame:
+        """Incremental change feed: every row version with ``_lsn > lsn``.
+
+        File-skipping read: files whose footer-harvested ``lsn_hi`` is at or
+        below the watermark are pruned from the scan entirely (the Iceberg
+        manifest min/max role), so a consumer that polls the table pays
+        O(new data), not O(table).  Rows keep their original ``_lsn`` under
+        both COW and MoR merges, so the row filter is exact in either mode;
+        tombstones are included (a delete IS a change).  Files without stats
+        (legacy entries) are conservatively scanned."""
+        snap = self.snapshot(version)
+        files = [
+            f for f in snap.files
+            if f.get("lsn_hi") is None or int(f["lsn_hi"]) > lsn
+        ]
+        df = self._read_files(snap, files, resolve=True)
+        if "_lsn" not in df.columns:
+            return df.limit(0)
+        return df.filter(F.col("_lsn") > F.lit(int(lsn)))
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Rename a (non-key) column — metadata-only schema evolution.

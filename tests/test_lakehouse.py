@@ -375,3 +375,39 @@ def test_rename_column_evolution(spark, tmp_table_dir):
         t.rename_column("conv_id", "cid")
     with pytest.raises(ValueError, match="no column"):
         t.rename_column("nope", "x")
+
+
+def test_lsn_stats_and_incremental_read(spark, tmp_table_dir):
+    """File entries carry footer-harvested _lsn min/max; read_changes_since
+    prunes files at or below the watermark and returns exactly the changed
+    rows (O(new data), not O(table))."""
+    spec = ChangelogSpec(n_events=2000, n_convs=50, n_chunks=4)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "changelog")
+    )
+    # MoR appends deltas so early files survive with low lsn_hi (COW would
+    # rewrite buckets and lift every file's stats)
+    cdc = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "transcripts"), n_buckets=4,
+        mode="mor", compact_every=0,
+    )
+    run_batched(spark, cdc, chunks[:2])
+    wm = cdc.high_watermark()
+    run_batched(spark, cdc, chunks)  # applies chunks 2..3 (0-1 skip)
+    t = cdc.table
+
+    snap = t.snapshot()
+    assert all("lsn_hi" in f and "lsn_lo" in f for f in snap.files)
+    n_pruned = sum(1 for f in snap.files if int(f["lsn_hi"]) <= wm)
+    assert n_pruned > 0  # skipping actually has something to skip
+
+    changes = t.read_changes_since(wm)
+    rows = changes.collect()
+    assert rows and all(r["_lsn"] > wm for r in rows)
+    # equals the unpruned computation exactly
+    want = sorted(
+        tuple(r) for r in t.read().filter(f"_lsn > {wm}").collect()
+    )
+    assert sorted(tuple(r) for r in rows) == want
+    # watermark past the end -> empty feed
+    assert t.read_changes_since(10**12).count() == 0
