@@ -325,3 +325,40 @@ def contamination_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
         .filter(containment >= 0.3)
         .select("doc_id", "test_id", F.round(containment, 4).alias("containment"))
     )
+
+
+@register(
+    "sample_stratified",
+    family="training-data: deterministic stratified sampling (per-stratum rates, reproducible hash gate)",
+    oracle="""
+WITH strata AS (
+  SELECT doc_id, n_chars,
+         doc_id % 5 AS stratum,
+         (doc_id % 5 + 1) * 10 AS rate_pct,
+         (doc_id * 2654435761) % 100 AS gate
+  FROM documents
+)
+SELECT doc_id, cast(stratum AS BIGINT) AS stratum,
+       cast(rate_pct AS BIGINT) AS rate_pct, n_chars
+FROM strata WHERE gate < rate_pct
+""",
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible stratified downsampling — the curation pass that keeps
+    x% per source/quality stratum.  The keep-gate is pure integer arithmetic
+    on the key (Knuth multiplicative hash mod 100), so the sample is
+    deterministic across engines, runs, retries and cluster sizes — no RNG
+    state, no seed plumbing, filter fully pushed into the scan."""
+    (d,) = load_tables(spark, sf, "documents")
+    stratum = F.col("doc_id") % 5
+    rate = (stratum + 1) * 10
+    gate = (F.col("doc_id") * F.lit(2654435761)) % 100
+    return (
+        d.select(
+            "doc_id",
+            stratum.cast("long").alias("stratum"),
+            rate.cast("long").alias("rate_pct"),
+            "n_chars",
+        )
+        .filter(gate < rate)
+    )
