@@ -162,6 +162,7 @@ def _merge_once(
     affected_buckets: list[int] | None = None,
 ) -> MergeResult:
     keys = table.key_cols
+    source = table.translate_renamed(source, base)
     payload_cols = [
         c for c in source.columns if c not in (*keys, lsn_col, op_col)
     ]
@@ -316,6 +317,7 @@ def _merge_mor(
     (tombstoning deletes) and commit the files with delta=True.  No target
     scan, no join — write cost is O(batch)."""
     keys = table.key_cols
+    source = table.translate_renamed(source, base)
     payload_cols = [c for c in source.columns if c not in (*keys, lsn_col, op_col)]
     incoming = T.StructType(
         [f for f in source.schema.fields if f.name in (*keys, *payload_cols)]

@@ -484,8 +484,23 @@ class SnapshotTable:
             props=props,
         )
 
-    def read_changes_since(self, lsn: int, version: int | None = None) -> DataFrame:
-        """Incremental change feed: every row version with ``_lsn > lsn``.
+    def read_changes_since(
+        self, lsn: int, version: int | None = None, all_versions: bool = False
+    ) -> DataFrame:
+        """Incremental change feed of rows with ``_lsn > lsn``.
+
+        Semantics (Iceberg incremental-read role):
+
+        - default (``all_versions=False``): **net change** — each key's
+          latest surviving row version past the watermark.  On an
+          uncompacted MoR table, intermediate versions of a key (updates at
+          lsn 8 and 10 past watermark 7) collapse to the lsn-10 row.  This
+          is what a downstream table-maintainer wants: applying the feed
+          converges it to this table's state.
+        - ``all_versions=True``: **full history** — every surviving row
+          version in the delta files (resolve skipped).  Note COW merges and
+          compaction physically drop superseded versions, so full history is
+          only as complete as the un-compacted delta retention.
 
         File-skipping read: files whose footer-harvested ``lsn_hi`` is at or
         below the watermark are pruned from the scan entirely (the Iceberg
@@ -499,7 +514,7 @@ class SnapshotTable:
             f for f in snap.files
             if f.get("lsn_hi") is None or int(f["lsn_hi"]) > lsn
         ]
-        df = self._read_files(snap, files, resolve=True)
+        df = self._read_files(snap, files, resolve=not all_versions)
         if "_lsn" not in df.columns:
             return df.limit(0)
         return df.filter(F.col("_lsn") > F.lit(int(lsn)))
@@ -538,10 +553,37 @@ class SnapshotTable:
             props_update={"renames": renames},
         )
 
+    def translate_renamed(self, df: DataFrame, base: Snapshot | None = None) -> DataFrame:
+        """Map incoming columns through the snapshot's rename history.
+
+        A writer still emitting a renamed-away column name (e.g. 'text'
+        after rename_column('text','body')) gets auto-translated to the
+        current name — the Iceberg field-id behavior.  Without this,
+        evolve_schema would re-add 'text' as a NEW column and the read-time
+        rename map would then alias two physical columns to 'body', making
+        the table unreadable (r2 ADVICE/verdict finding).  A batch carrying
+        BOTH the old and the new name is ambiguous and rejected."""
+        base = base or self.snapshot()
+        renames: dict[str, str] = base.props.get("renames") or {}
+        if not renames:
+            return df
+        cols = set(df.columns)
+        sel = []
+        for c in df.columns:
+            tgt = renames.get(c, c)
+            if tgt != c and tgt in cols:
+                raise ValueError(
+                    f"incoming batch carries both {c!r} and its renamed form "
+                    f"{tgt!r}; drop one before writing"
+                )
+            sel.append(F.col(c).alias(tgt))
+        return df.select(*sel)
+
     # ---------- convenience batch ops ----------
 
     def append(self, df: DataFrame, op: str = "append") -> Snapshot:
         base = self.snapshot()
+        df = self.translate_renamed(df, base)
         schema = evolve_schema(base.schema, df.schema)
         sid = base.schema_id if schema == base.schema else max(base.schemas) + 1
         new_files = self.write_data_files(self._align(df, schema), base.version + 1)
@@ -551,6 +593,7 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> Snapshot:
         base = self.snapshot()
+        df = self.translate_renamed(df, base)
         schema = evolve_schema(base.schema, df.schema)
         new_files = self.write_data_files(self._align(df, schema), base.version + 1)
         sid = base.schema_id if schema == base.schema else max(base.schemas) + 1

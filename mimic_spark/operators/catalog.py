@@ -32,11 +32,45 @@ class QueryOp:
 
 OPS: dict[str, QueryOp] = {}
 
+# DataFrames cached *inside* one catalog query (shingle sets etc.).  A cache
+# speeds reuse within that query's job, but left alone it leaks across the
+# session and cross-contaminates later queries' timings (round-1 bench bug).
+# Queries register their caches here; the next catalog query releases them.
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def cache_for_query(df: DataFrame) -> DataFrame:
+    """Cache `df` for reuse within the current query; released lazily when
+    the *next* catalog query starts (the returned plan must stay computable
+    after the query function returns — the driver collects later — so the
+    unpersist can't happen inside the query itself)."""
+    cached = df.cache()
+    _QUERY_CACHES.append(cached)
+    return cached
+
+
+def release_query_caches() -> None:
+    while _QUERY_CACHES:
+        df = _QUERY_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session may already be stopped
+
 
 def register(name: str, family: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        OPS[name] = QueryOp(name=name, fn=fn, oracle=oracle, family=family, doc=doc)
-        return fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_query_caches()
+            return fn(spark, sf_dir)
+
+        OPS[name] = QueryOp(
+            name=name, fn=wrapped, oracle=oracle, family=family, doc=doc
+        )
+        return wrapped
 
     return deco
 

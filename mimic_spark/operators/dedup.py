@@ -20,7 +20,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mimic_spark.operators.catalog import load_tables, register
+from mimic_spark.functions.portable_hash import (
+    DUCK_WORD_HASH,
+    HASH_MOD,
+    SIG_COMBINE,
+    SPARK_WORD_HASH,
+    duck_word_hashes,
+    hash_family,
+    spark_word_hashes,
+)
+
+DUCK_WORD_HASH_W = DUCK_WORD_HASH.format(w="w")
+from mimic_spark.operators.catalog import cache_for_query, load_tables, register
 
 JACCARD_THRESHOLD = 0.5
 SHINGLE_N = 3
@@ -114,7 +125,7 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     (d,) = load_tables(spark, sf, "documents")
-    sh = _shingles(d).cache()
+    sh = cache_for_query(_shingles(d))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # lossless prune: a shingle held by a single doc can never produce a
     # pair — drop it before the quadratic self-join (set sizes for the
@@ -152,13 +163,83 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
+_MH_FAMILY = hash_family(N_MINHASH)  # (a_i, c_i) pairs, identical in oracle
+
+
+def _band_sig(cols: list[str]) -> str:
+    """Polynomial combine of one band's minhashes, mod 2^31-1 — plain BIGINT
+    arithmetic that DuckDB evaluates identically (replaces xxhash64)."""
+    expr = cols[0]
+    for c in cols[1:]:
+        expr = f"(({expr}) * {SIG_COMBINE} + {c}) % {HASH_MOD}"
+    return expr
+
+
+_MINS_SQL = ",\n         ".join(
+    f"min((b * {a} + {c}) % {HASH_MOD}) AS mh{i}"
+    for i, (a, c) in enumerate(_MH_FAMILY)
+)
+_BANDS_SQL = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {bnd} AS band, "
+    f"{_band_sig([f'mh{bnd * 4 + r}' for r in range(4)])} AS sig FROM mins"
+    for bnd in range(LSH_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+wh AS (
+  SELECT doc_id, {duck_word_hashes('words')} AS wh FROM tok
+),
+b AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(wh) - 2),
+           i -> ((wh[i] * 131 + wh[i+1]) * 131 + wh[i+2]) % {HASH_MOD}))) AS b
+  FROM wh WHERE len(wh) >= 3
+),
+mins AS (
+  SELECT doc_id,
+         {_MINS_SQL}
+  FROM b GROUP BY doc_id
+),
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(words) - {SHINGLE_N - 1}, 0)),
+                  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shingle
+    FROM tok)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT cd.doc_a, cd.doc_b, count(*) AS cnt
+  FROM cand cd
+  JOIN sh a ON a.doc_id = cd.doc_a
+  JOIN sh b2 ON b2.doc_id = cd.doc_b AND b2.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT cm.doc_a, cm.doc_b,
+       round(cnt * 1.0 / (sa.n + sb.n - cnt), 4) AS jaccard
+FROM common cm
+JOIN sizes sa ON sa.doc_id = cm.doc_a
+JOIN sizes sb ON sb.doc_id = cm.doc_b
+WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= {JACCARD_THRESHOLD}
+"""
 
 
 @register(
     "dedup_minhash_lsh",
-    family="training-data: MinHash+LSH near-dup (shingle->minhash->band->bucket-join->verify)",
-    oracle=None,  # minhash uses xxhash64 (engine-specific); pytest asserts
-    # candidates verify to a subset of dedup_ngram_jaccard's exact pairs
+    family="training-data: MinHash+LSH near-dup (shingle->minhash->band->bucket-join->verify); portable mod-2^31-1 hashing, DuckDB-oracled",
+    oracle=_MINHASH_ORACLE,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Scalable near-dup: 16 minhashes -> 4 LSH bands -> bucket self-join for
@@ -166,32 +247,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     At 100 TB the shingle self-join in dedup_ngram_jaccard is quadratic in
     hot shingles; this plan shuffles only (doc, band-signature) rows and
-    verifies a near-linear candidate set."""
-    (d,) = load_tables(spark, sf, "documents")
-    sh = _shingles(d)
+    verifies a near-linear candidate set.
 
-    mins = sh.groupBy("doc_id").agg(
+    Hashing is the portable polynomial family (mod 2^31-1) from
+    functions/portable_hash.py rather than xxhash64, so DuckDB computes
+    bit-identical signatures and the whole pipeline is value-oracled
+    (was rows-only in rounds 1-2).  Minhash i of a shingle-base b is
+    (a_i*b + c_i) % M — a bijection on Z_M per hash, so min-ranks behave
+    like independent permutations (standard universal-hash minhash)."""
+    (d,) = load_tables(spark, sf, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    staged = d.select("doc_id", words.alias("words")).select(
+        "doc_id", F.expr(spark_word_hashes("words")).alias("wh")
+    )
+    base_expr = (
+        f"array_distinct(transform(sequence(1, size(wh) - 2), "
+        f"i -> ((element_at(wh, i) * 131 + element_at(wh, i + 1)) * 131 "
+        f"+ element_at(wh, i + 2)) % {HASH_MOD}))"
+    )
+    b = (
+        staged.filter(F.size("wh") >= SHINGLE_N)
+        .select("doc_id", F.explode(F.expr(base_expr)).alias("b"))
+    )
+    # explode -> groupBy(16 mins) is whole-stage-codegen'd with map-side
+    # partial min; a map-side array_min(transform(...)) variant measured
+    # 5x slower (higher-order fns are CodegenFallback)
+    mins = b.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
+            F.expr(f"min((b * {a} + {c}) % {HASH_MOD})").alias(f"mh{i}")
+            for i, (a, c) in enumerate(_MH_FAMILY)
         ]
     )
-    rows_per_band = N_MINHASH // LSH_BANDS
     bands = mins.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
+                        F.lit(bnd).alias("band"),
+                        F.expr(
+                            _band_sig([f"mh{bnd * 4 + r}" for r in range(4)])
                         ).alias("sig"),
                     )
-                    for b in range(LSH_BANDS)
+                    for bnd in range(LSH_BANDS)
                 ]
             )
         ).alias("bs"),
@@ -211,7 +309,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
 
-    # verify candidates with exact Jaccard (candidate set is small)
+    # verify candidates with exact Jaccard on string shingles (candidate set
+    # is small); the shingle set is used three times (sizes + both pair
+    # sides) — cache it for this query, released at the next catalog call
+    sh = cache_for_query(_shingles(d))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pair_sh = cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")),
@@ -234,41 +335,108 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SIMHASH_BITS = 62  # two 31-bit portable word hashes stacked
+_SIMHASH_BANDS = [(0, 16), (16, 16), (32, 16), (48, 14)]  # (shift, width)
+# second word hash derived from the first: (a*h1 + c) % M — a bijection on
+# Z_M, so its bits are de-correlated from h1's for voting purposes
+_SIMHASH_A2, _SIMHASH_C2 = hash_family(20)[19]
+
+
+def _simhash_bit_src(bt: int, h1: str = "h1", h2: str = "h2") -> str:
+    if bt < 31:
+        return f"(({h1} // {1 << bt}) % 2)" if bt else f"({h1} % 2)"
+    return f"(({h2} // {1 << (bt - 31)}) % 2)" if bt > 31 else f"({h2} % 2)"
+
+
+_SIMHASH_CNTS_SQL = ",\n         ".join(
+    f"sum({_simhash_bit_src(bt)}) AS c{bt}" for bt in range(_SIMHASH_BITS)
+)
+_SIMHASH_SIG_SQL = " + ".join(
+    f"(CASE WHEN 2 * c{bt} > n THEN {1 << bt} ELSE 0 END)"
+    for bt in range(_SIMHASH_BITS)
+)
+_SIMHASH_CHUNKS_SQL = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, simhash, {i} AS band, "
+    f"(simhash // {1 << shift}) % {1 << width} AS chunk FROM sigs"
+    for i, (shift, width) in enumerate(_SIMHASH_BANDS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH wq AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
+  FROM documents
+),
+h0 AS (SELECT doc_id, {DUCK_WORD_HASH_W} AS h1 FROM wq),
+h AS (SELECT doc_id, h1, (h1 * {_SIMHASH_A2} + {_SIMHASH_C2}) % {HASH_MOD} AS h2 FROM h0),
+cnts AS (
+  SELECT doc_id, count(*) AS n,
+         {_SIMHASH_CNTS_SQL}
+  FROM h GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, CAST({_SIMHASH_SIG_SQL} AS BIGINT) AS simhash FROM cnts
+),
+chunks AS (
+  {_SIMHASH_CHUNKS_SQL}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sig_a, y.simhash AS sig_b
+  FROM chunks x JOIN chunks y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
 @register(
     "dedup_simhash",
-    family="training-data: SimHash 64-bit signatures + hamming<=3 near-dup pairs",
-    oracle=None,  # xxhash64-based; determinism + symmetry asserted in pytest
+    family="training-data: SimHash 62-bit signatures + hamming<=3 near-dup pairs (portable hashing, DuckDB-oracled)",
+    oracle=_SIMHASH_ORACLE,
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash: per-word 64-bit hash; signature bit b = majority vote of word
-    hash bits.  Bit votes via JVM higher-order functions over the word array;
-    pair generation prunes on equal 16-bit sub-bands (hamming<=3 implies at
-    least one of 4 sub-bands equal — pigeonhole), then exact popcount filter.
-    """
-    (d,) = load_tables(spark, sf, "documents")
-    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # bit b vote: sum over words of (hash>>b)&1, majority => bit set
-    nw = F.size(words)
-    bits = [
-        (
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + h.bitwiseAND(F.lit(1).cast("long")) if b == 0
-                else acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("long")),
-            )
-            * 2
-            > nw.cast("long")
-        ).cast("long")
-        for b in range(64)
-    ]
-    sig = bits[0]
-    for b in range(1, 64):
-        sig = sig + F.shiftleft(bits[b], b)
-    sigs = d.select("doc_id", sig.alias("simhash"))
+    """SimHash: per-word portable hash; signature bit b = majority vote of
+    word-hash bits over the doc's distinct words.  Pair generation prunes on
+    equal sub-band chunks (hamming<=3 over 4 disjoint chunks implies at least
+    one chunk equal — pigeonhole), then exact popcount filter.
 
-    # band on 16-bit chunks for candidate pruning
+    The signature is 62 bits from two stacked mod-2^31-1 polynomial word hashes
+    (functions/portable_hash.py) so DuckDB computes bit-identical signatures
+    and the op is value-oracled (was 64-bit xxhash64, rows-only, in r1-r2).
+    Votes run on exploded distinct words -> whole-stage-codegen'd sums with
+    map-side partials (the higher-order-function form is CodegenFallback)."""
+    (d,) = load_tables(spark, sf, "documents")
+    wd = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("w"),
+    )
+    h = wd.select(
+        "doc_id", F.expr(SPARK_WORD_HASH.format(w="w")).alias("h1")
+    ).withColumn(
+        "h2", F.expr(f"(h1 * {_SIMHASH_A2} + {_SIMHASH_C2}) % {HASH_MOD}")
+    )
+    cnts = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(
+                f"sum({_simhash_bit_src(bt).replace('//', 'div')})"
+            ).alias(f"c{bt}")
+            for bt in range(_SIMHASH_BITS)
+        ],
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN 2 * c{bt} > n THEN {1 << bt} ELSE 0 END)"
+        for bt in range(_SIMHASH_BITS)
+    )
+    sigs = cnts.select(
+        "doc_id", F.expr(f"CAST({sig_expr} AS BIGINT)").alias("simhash")
+    )
+
+    # band on disjoint chunks for candidate pruning
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -277,11 +445,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
-                        .alias("chunk"),
+                        F.expr(
+                            f"(simhash div {1 << shift}) % {1 << width}"
+                        ).alias("chunk"),
                     )
-                    for i in range(4)
+                    for i, (shift, width) in enumerate(_SIMHASH_BANDS)
                 ]
             )
         ).alias("bc"),

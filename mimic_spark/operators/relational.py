@@ -9,6 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimic_spark.functions.portable_hash import (
+    duck_row_id as _duck_row_id,
+    spark_row_id as _spark_row_id,
+)
 from mimic_spark.operators.catalog import load_tables, register
 
 
@@ -611,17 +615,34 @@ def explode_split_words(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "deterministic_row_id",
-    family="§2.8 hash ids: FARM_FINGERPRINT(TO_JSON_STRING(STRUCT(...))) -> xxhash64(to_json(struct)) (ref st_hosp_base.sql:28-33)",
-    oracle=None,  # hash functions differ across engines by design; determinism
-    # is asserted in tests/test_operators.py instead (ref test_deterministic_load_row_id.py)
+    family="§2.8 hash ids: FARM_FINGERPRINT(TO_JSON_STRING(STRUCT(...))) analog over the canonical key JSON (ref st_hosp_base.sql:28-33)",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey,
+         concat('{{"orderkey":', o_orderkey, ',"custkey":', o_custkey, '}}') AS trace_id
+  FROM orders
+)
+SELECT o_orderkey,
+       {_duck_row_id('trace_id')} AS load_row_id,
+       trace_id
+FROM t
+""",
 )
 def deterministic_row_id_op(spark: SparkSession, sf: str) -> DataFrame:
-    from mimic_spark.functions.hashing import deterministic_row_id, trace_id
+    """Deterministic row identity from the natural key's canonical JSON —
+    the reference's FARM_FINGERPRINT(TO_JSON_STRING(STRUCT(...))) role
+    (st_hosp_base.sql:28-33).  This catalog form uses the portable 62-bit
+    polynomial hash (functions/portable_hash.py) so DuckDB value-checks it;
+    the engine's hot-path id (functions/hashing.py, xxhash64) keeps its own
+    determinism pytest (ref test_deterministic_load_row_id.py)."""
+    from mimic_spark.functions.hashing import trace_id
 
     (o,) = load_tables(spark, sf, "orders")
     return o.select(
         "o_orderkey",
-        deterministic_row_id("o_orderkey", "o_custkey").alias("load_row_id"),
+        F.expr(_spark_row_id("to_json(struct(o_orderkey AS orderkey, o_custkey AS custkey))")).alias(
+            "load_row_id"
+        ),
         trace_id(orderkey="o_orderkey", custkey="o_custkey").alias("trace_id"),
     )
 

@@ -90,35 +90,87 @@ def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 # 4 planes -> 16 buckets: sized for the small test corpus (recall first);
 # at cluster scale planes grow ~log2(corpus/target_bucket_size)
 N_PLANES = 4
+EMB_DIM = 64
+_PLANE_KNUTH = 2654435761
+_PLANE_MOD = 2147483647
+
+
+def _plane_comp_sql(p: str, j: str) -> str:
+    """Rademacher ±1 hyperplane component from portable integer parity —
+    identical text evaluates identically in Spark SQL and DuckDB."""
+    return (
+        f"(CASE WHEN ((({p}) * {EMB_DIM} + ({j})) * {_PLANE_KNUTH} + 12345) "
+        f"% {_PLANE_MOD} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _duck_plane_dot(p: int) -> str:
+    """DuckDB: dot(v, plane_p), summed left-to-right like Spark aggregate."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIM}), "
+        f"j -> v[j] * {_plane_comp_sql(str(p), 'j')})), (acc, x) -> acc + x)"
+    )
+
+
+_ANN_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+         {' + '.join(f'(CASE WHEN {_duck_plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END)' for p in range(N_PLANES))} AS bucket
+  FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+  FROM sigs WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv, unnest([qbucket,
+         {', '.join(f'xor(qbucket, {1 << p})' for p in range(N_PLANES))}]) AS probe
+  FROM q
+),
+scored AS (
+  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, s.v), 4) AS cos_sim
+  FROM probes p JOIN sigs s
+    ON p.probe = s.bucket AND s.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
 
 
 @register(
     "ann_lsh_bucketed",
-    family="training-data: LSH-bucketed ANN (random-hyperplane signature -> bucket join -> exact rescore)",
-    oracle=None,  # hyperplanes derive from xxhash64 (engine hash); pytest
-    # asserts recall >= 0.6 vs ann_cosine_topk and determinism
+    family="training-data: LSH-bucketed ANN (random-hyperplane signature -> bucket join -> exact rescore); portable hyperplanes, DuckDB-oracled",
+    oracle=_ANN_LSH_ORACLE,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """Scale path: deterministic pseudo-random hyperplanes -> sign
     signature -> candidates share the query's bucket (or differ in 1 bit via
     multi-probe) -> exact cosine rescore of candidates only.
 
-    Hyperplane p component j = sign-ish value derived from xxhash64(p, j):
-    deterministic, no stored model, identical across runs and executors.
+    Hyperplane p component j is a Rademacher ±1 drawn from the parity of a
+    portable integer hash of (p, j) — deterministic, no stored model,
+    identical across runs, executors, AND engines: DuckDB rebuilds the same
+    planes, and the float dot products sum left-to-right in both engines
+    (Spark `aggregate`, DuckDB `list_reduce`), so bucket signs agree exactly
+    and the whole query is value-oracled (was rows-only in r1-r2).
     """
     from pyspark.sql import Window as W
 
     (e,) = load_tables(spark, sf, "embeddings")
-    dim = 64
     e = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
     def plane(p: int) -> F.Column:
-        # component j in {-1.0, +1.0} from parity of xxhash64(p*1024 + j)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: F.when(
-                F.pmod(F.xxhash64(F.lit(p) * 1024 + j), F.lit(2)) == 0, 1.0
-            ).otherwise(-1.0),
+        return F.expr(
+            f"transform(sequence(1, {EMB_DIM}), "
+            f"j -> {_plane_comp_sql(str(p), 'j')})"
         )
 
     sig = F.lit(0).cast("long")

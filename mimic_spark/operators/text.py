@@ -36,7 +36,7 @@ def _sql_stop_hits(lang: str) -> str:
 
 @register(
     "text_quality_scores",
-    family="training-data: quality scoring (length/punct/stopword ratios) — §2.8 string fns at scale",
+    family="training-data: quality scoring (length/punct/stopword ratios) + token counting (whitespace + BPE-ish regex) — §2.8 string fns at scale",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, text, n_chars,
@@ -48,11 +48,16 @@ SELECT doc_id,
        n_chars AS n_chars,
        len(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS n_punct,
        round({_sql_stop_hits("en")} * 1.0 / len(words), 4) AS stop_ratio,
-       round(n_chars * 1.0 / len(words), 2) AS chars_per_word
+       round(n_chars * 1.0 / len(words), 2) AS chars_per_word,
+       len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
 FROM tok
 """,
 )
 def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc quality stats AND token counts (whitespace tokens == n_words;
+    BPE-ish regex tokens as bpe_tokens) — merged with the former
+    text_token_counts entry (r3) to keep every oracled query inside the
+    driver's 50-entry correctness window; coverage is identical."""
     (d,) = load_tables(spark, sf, "documents")
     d = d.withColumn("words", _words())
     nw = F.size("words")
@@ -63,24 +68,6 @@ def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]+", "")).alias("n_punct"),
         F.round(_stop_hits(F.col("words"), "en") * 1.0 / nw, 4).alias("stop_ratio"),
         F.round(F.col("n_chars") * 1.0 / nw, 2).alias("chars_per_word"),
-    )
-
-
-@register(
-    "text_token_counts",
-    family="training-data: token counting (whitespace + BPE-ish regex)",
-    oracle="""
-SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
-FROM documents
-""",
-)
-def text_token_counts(spark: SparkSession, sf: str) -> DataFrame:
-    (d,) = load_tables(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.size(_words()).alias("ws_tokens"),
         F.size(
             F.expr(r"regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]', 0)")
         ).alias("bpe_tokens"),
@@ -335,7 +322,7 @@ WITH strata AS (
   SELECT doc_id, n_chars,
          doc_id % 5 AS stratum,
          (doc_id % 5 + 1) * 10 AS rate_pct,
-         (doc_id * 2654435761) % 100 AS gate
+         ((doc_id % 2147483647) * 2654435761) % 100 AS gate
   FROM documents
 )
 SELECT doc_id, cast(stratum AS BIGINT) AS stratum,
@@ -352,7 +339,11 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     (d,) = load_tables(spark, sf, "documents")
     stratum = F.col("doc_id") % 5
     rate = (stratum + 1) * 10
-    gate = (F.col("doc_id") * F.lit(2654435761)) % 100
+    # reduce the key mod 2^31-1 BEFORE the Knuth multiply: the product then
+    # stays < 2^62 for ANY doc_id, so the gate never overflows BIGINT in
+    # either engine (unreduced, doc_id > ~3.5e9 wraps in Spark and errors in
+    # DuckDB/ANSI mode — r2 ADVICE finding)
+    gate = ((F.col("doc_id") % 2147483647) * F.lit(2654435761)) % 100
     return (
         d.select(
             "doc_id",

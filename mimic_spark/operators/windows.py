@@ -38,32 +38,6 @@ def window_dedup_latest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "window_lag_lead",
-    family="W2 LAG/LEAD prev/next event (ref lk_vis_part_1.sql:105-114, cdm_visit_occurrence.sql:91-94)",
-    oracle="""
-SELECT event_id, user_id,
-       lag(event_type) OVER w AS prev_type,
-       lead(event_type) OVER w AS next_type,
-       cast(round((value - lag(value) OVER w) * 100) AS BIGINT) AS delta_c
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-""",
-)
-def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
-    (e,) = load_tables(spark, sf, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "event_id",
-        "user_id",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lead("event_type").over(w).alias("next_type"),
-        F.round((F.col("value") - F.lag("value").over(w)) * 100)
-        .cast("long")
-        .alias("delta_c"),
-    )
-
-
-@register(
     "window_first_running_max",
     family="W3 FIRST_VALUE (ref cdm_person.sql:33-40) + W4 running MAX ROWS UNBOUNDED PRECEDING (ref cdm_drug_era.sql:82-89)",
     oracle="""
@@ -133,10 +107,13 @@ def sessionize_gaps(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "era_gaps_islands",
-    family="W5 OHDSI era build: union padded intervals -> islands with 2h gap (ref cdm_drug_era.sql:51-260, cdm_condition_era.sql:36-150)",
-    oracle="""
+# Deregistered from the catalog in r3 (W5/W6 evidence is carried by the full
+# era_variable_intervals entry; this fixed-width simplification stays as a
+# plain function for the bench headline and the pytest that proves the
+# lag-based simplification equals the running-max form on fixed-width
+# intervals).  Freed slot keeps all oracled queries inside the driver's
+# 50-entry correctness window.
+ERA_GAPS_ISLANDS_ORACLE = """
 WITH err AS (
   SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
   FROM events WHERE event_type = 'error'
@@ -157,8 +134,9 @@ eras AS (
 SELECT user_id, cast(era_id AS BIGINT) AS era_id,
        min(start_ts) AS era_start, max(end_ts) AS era_end, count(*) AS n_incidents
 FROM eras GROUP BY user_id, era_id
-""",
-)
+"""
+
+
 def era_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands via lag + cumulative flag-sum — same algebra as the
     reference's two-pass running-max era build, in its simpler modern form.
@@ -364,9 +342,12 @@ def era_variable_intervals(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "window_rank_family",
-    family="W-breadth: rank/dense_rank/percent_rank/ntile/cume_dist (full ranking-function surface)",
+    family="W2 LAG/LEAD prev/next event (ref lk_vis_part_1.sql:105-114, cdm_visit_occurrence.sql:91-94) + W-breadth: rank/dense_rank/percent_rank/ntile/cume_dist",
     oracle="""
 SELECT event_id, user_id,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       cast(round((value - lag(value) OVER w) * 100) AS BIGINT) AS delta_c,
        cast(rank() OVER w AS BIGINT) AS rnk,
        cast(dense_rank() OVER w AS BIGINT) AS drnk,
        round(percent_rank() OVER w, 6) AS prnk,
@@ -378,14 +359,22 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
 def window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
-    """The complete ranking-function family over one window — rounds out
-    §2.5 beyond the row_number/lag/first_value forms the reference leans on.
-    (event_id tiebreak keeps every function deterministic.)"""
+    """LAG/LEAD plus the complete ranking-function family over one window —
+    rounds out §2.5 beyond the row_number/first_value forms the reference
+    leans on.  (Absorbed the former window_lag_lead entry in r3 so every
+    oracled query fits the driver's 50-entry correctness window; all
+    functions share one window spec — single sort, zero extra exchanges.
+    event_id tiebreak keeps every function deterministic.)"""
     (e,) = load_tables(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.filter(F.col("user_id") < 20).select(
         "event_id",
         "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round((F.col("value") - F.lag("value").over(w)) * 100)
+        .cast("long")
+        .alias("delta_c"),
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prnk"),

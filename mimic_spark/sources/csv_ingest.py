@@ -240,6 +240,15 @@ def resolve_source_dir(path: str) -> str:
             tmp_dir = tempfile.mkdtemp(prefix="mimic_spark_extract_")
             with tarfile.open(apath, "r:*") as tf:
                 for member in tf.getmembers():
+                    # reject links outright: the realpath pre-check below runs
+                    # before any member exists, so a symlink member followed by
+                    # a write through it would escape undetected on the
+                    # pre-3.11.4 fallback path (r2 ADVICE finding); data
+                    # archives have no business carrying links
+                    if member.issym() or member.islnk():
+                        raise ValueError(
+                            f"link member in tar archive: {member.name}"
+                        )
                     mdest = os.path.realpath(os.path.join(tmp_dir, member.name))
                     if not (mdest + os.sep).startswith(
                         os.path.realpath(tmp_dir) + os.sep

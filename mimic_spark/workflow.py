@@ -165,9 +165,18 @@ class Workflow:
             }
         if step.get("mode") == "attach":
             # open an existing table without applying anything — the shape
-            # report/metrics workflows use (reference workflow_metrics.conf)
+            # report/metrics workflows use (reference workflow_metrics.conf).
+            # attach must never CREATE: a typo'd path would otherwise silently
+            # materialize an empty table and report watermark null (r2 ADVICE)
+            from mimic_spark.lakehouse.table import SnapshotTable as _ST
             from mimic_spark.streaming.apply import TranscriptCdc as _T
 
+            if not _ST.exists(table):
+                raise FileNotFoundError(
+                    f"cdc attach: no snapshot table at {table!r} "
+                    "(attach opens existing tables only; use mode=batch/stream "
+                    "to create one)"
+                )
             cdc = _T(self.spark, table, n_buckets=int(step.get("n_buckets", 32)))
             self._last_cdc = cdc
             if step.get("register"):

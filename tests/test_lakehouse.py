@@ -376,6 +376,30 @@ def test_rename_column_evolution(spark, tmp_table_dir):
     with pytest.raises(ValueError, match="no column"):
         t.rename_column("nope", "x")
 
+    # a lagging writer still emitting a renamed-away name is auto-translated
+    # through the rename history instead of re-adding the old name as a NEW
+    # column (which would alias two physical columns together and make every
+    # later read ambiguous — r2 ADVICE/verdict hazard)
+    t.append(
+        spark.createDataFrame(
+            [("c", 2, "late", 3, False)],
+            "conv_id string, turn_idx int, text string, _lsn long, _deleted boolean",
+        )
+    )
+    assert "text" not in t.read().columns and "body" not in t.read().columns
+    got3 = {r["conv_id"]: r["content"] for r in t.read().collect()}
+    assert got3 == {"a": "hello", "b": "world", "c": "late"}
+
+    # carrying BOTH the old and the current name is ambiguous -> rejected
+    with pytest.raises(ValueError, match="renamed form"):
+        t.append(
+            spark.createDataFrame(
+                [("d", 3, "x", "y", 4, False)],
+                "conv_id string, turn_idx int, text string, content string,"
+                " _lsn long, _deleted boolean",
+            )
+        )
+
 
 def test_lsn_stats_and_incremental_read(spark, tmp_table_dir):
     """File entries carry footer-harvested _lsn min/max; read_changes_since

@@ -251,7 +251,9 @@ def test_era_running_max_equals_lag_on_fixed_width(spark):
             F.count(F.lit(1)).alias("n_incidents"),
         )
     )
-    via_lag = OPS["era_gaps_islands"].fn(spark, SF)
+    from mimic_spark.operators.windows import era_gaps_islands
+
+    via_lag = era_gaps_islands(spark, SF)
     a = {tuple(r) for r in via_runmax.collect()}
     b = {tuple(r) for r in via_lag.collect()}
     assert a == b
