@@ -112,29 +112,54 @@ class Snapshot:
         return self.schemas[self.schema_id]
 
 
-def _footer_lsn_stats(parquet_path: str) -> tuple[int, int] | None:
-    """min/max of the `_lsn` column from the parquet footer (free: the
-    writer already computed row-group statistics).  Driver-side, no Spark
-    job — one footer read per file entry, the Iceberg manifest-stats role."""
+def _footer_stats(
+    parquet_path: str,
+    int_cols: tuple[str, ...] = ("_lsn",),
+    ts_cols: tuple[str, ...] = ("ts",),
+) -> dict[str, Any]:
+    """Manifest stats from the parquet footer (free: the writer already
+    computed row-group statistics).  Driver-side, no Spark job — one footer
+    read per file entry, the Iceberg manifest-stats role.
+
+    Returns {"rows": n} plus, for each requested column present with
+    complete min/max stats, "<col>_lo"/"<col>_hi" (integers for int_cols,
+    ISO-8601 strings for ts_cols; `_lsn` keeps its legacy `lsn_lo/lsn_hi`
+    key names).  Missing/partial stats for a column simply omit its keys —
+    readers treat absent stats as "must scan"."""
+    out: dict[str, Any] = {}
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(parquet_path).metadata
+        out["rows"] = int(md.num_rows)
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        if "_lsn" not in idx:
-            return None
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx["_lsn"]).statistics
-            if st is None or not st.has_min_max:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:
-            return None
-        return int(lo), int(hi)
+        for col, is_ts in [(c, False) for c in int_cols] + [
+            (c, True) for c in ts_cols
+        ]:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            key = "lsn" if col == "_lsn" else col
+            if is_ts:
+                # space separator (not 'T') so the strings compare lexically
+                # against "YYYY-MM-DD HH:MM:SS[.ffffff]" query bounds
+                out[f"{key}_lo"] = lo.isoformat(sep=" ")
+                out[f"{key}_hi"] = hi.isoformat(sep=" ")
+            else:
+                out[f"{key}_lo"], out[f"{key}_hi"] = int(lo), int(hi)
     except Exception:  # stats are an optimization, never a correctness gate
-        return None
+        pass
+    return out
 
 
 def _atomic_create(path: str, text: str) -> None:
@@ -429,9 +454,7 @@ class SnapshotTable:
                         "path": os.path.join(rel_dir, sub, fn),
                         "bucket": b,
                     }
-                    stats = _footer_lsn_stats(full)
-                    if stats is not None:
-                        entry["lsn_lo"], entry["lsn_hi"] = stats
+                    entry.update(_footer_stats(full))
                     entries.append(entry)
         return entries
 
@@ -518,6 +541,77 @@ class SnapshotTable:
         if "_lsn" not in df.columns:
             return df.limit(0)
         return df.filter(F.col("_lsn") > F.lit(int(lsn)))
+
+    def files_in_time_range(
+        self, lo: str, hi: str, version: int | None = None
+    ) -> tuple[list[dict[str, Any]], int]:
+        """(files possibly overlapping [lo, hi] by footer ts stats, total).
+
+        lo/hi are ISO-8601 strings compared lexically against the harvested
+        ISO stats — valid because ISO-8601 orders lexicographically.  Files
+        without ts stats are conservatively kept."""
+        snap = self.snapshot(version)
+        kept = [
+            f
+            for f in snap.files
+            if f.get("ts_lo") is None
+            or not (f["ts_hi"] < lo or f["ts_lo"] > hi)
+        ]
+        return kept, len(snap.files)
+
+    def read_time_range(
+        self, lo: str, hi: str, version: int | None = None
+    ) -> DataFrame:
+        """Rows with ``ts`` in [lo, hi], skipping files whose footer ts
+        min/max proves they can't overlap (Iceberg metadata-pruning role) —
+        a dashboard/backfill query over a 100 TB table then reads only the
+        touched time slice.
+
+        MoR caveat: pruning before per-key resolution is only sound when the
+        pruned-away rows could not win resolution.  A ts predicate gives no
+        such guarantee (a key's LATEST version may sit outside the range
+        while a stale version sits inside), so on a snapshot that still
+        carries un-compacted delta files this falls back to resolve-first
+        (full scan) + filter.  After compaction — the read-optimized state —
+        the file-skipping path applies."""
+        snap = self.snapshot(version)
+        if any(f.get("delta") for f in snap.files):
+            df = self._read_files(snap, snap.files, resolve=True)
+        else:
+            kept, _ = self.files_in_time_range(lo, hi, version)
+            df = self._read_files(snap, kept, resolve=False)
+        if "ts" not in df.columns:
+            return df.limit(0)
+        ts_type = df.schema["ts"].dataType
+        return df.filter(
+            (F.col("ts") >= F.lit(lo).cast(ts_type))
+            & (F.col("ts") <= F.lit(hi).cast(ts_type))
+        )
+
+    def read_changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Snapshot-based incremental read: net change carried by data files
+        committed AFTER ``from_version`` up to ``to_version`` (Iceberg's
+        incremental read between snapshot ids).
+
+        This is the correct change-feed cursor under out-of-order delivery:
+        a late event carries a LOW lsn but lands in a NEW file, so a
+        version-diff read sees it while an lsn-watermark read
+        (``read_changes_since``) would skip it.  Rows are resolved per key
+        within the new files (net change); tombstones included.
+
+        Note: a compaction rewrites old rows into new files, so a feed
+        polling across a compaction re-emits unchanged rows — harmless for
+        idempotent upsert consumers (same keys, same or higher lsn), and
+        Iceberg's incremental read has the same caveat."""
+        snap = self.snapshot(to_version)
+        if from_version < 0:
+            prev_paths: set[str] = set()
+        else:
+            prev_paths = {f["path"] for f in self.snapshot(from_version).files}
+        new_files = [f for f in snap.files if f["path"] not in prev_paths]
+        return self._read_files(snap, new_files, resolve=True)
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Rename a (non-key) column — metadata-only schema evolution.

@@ -4,10 +4,11 @@ Strategies, each a `queries()` entry (plus dedup_embedding_cosine in
 similarity.py and connected-component clustering at the end of this file):
 - exact (normalized-key hash groupBy)            — SQL-oracled
 - n-gram Jaccard pairs (shingle self-join)       — SQL-oracled
-- MinHash + LSH candidate pairs + verification   — rows-only (engine hash),
-  verified in pytest as (a) a subset of the exact-Jaccard pairs and (b)
-  deterministic across runs
-- SimHash near-dup pairs                         — rows-only, pytest twin
+- MinHash + LSH candidate pairs + verification   — SQL-oracled since r3
+  (portable mod-2^31-1 hashing, functions/portable_hash.py); pytest also
+  verifies candidates are a subset of the exact-Jaccard pairs with high recall
+- SimHash near-dup pairs                         — SQL-oracled since r3
+  (62-bit portable signature)
 
 Scale posture: the shingle self-join is the canonical big-data near-dup plan
 (explode -> shuffle on shingle -> pair-count) and is what MinHash/LSH then

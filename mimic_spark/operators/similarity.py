@@ -2,8 +2,8 @@
 
 - brute-force cosine top-k (the exactness baseline)    — SQL-oracled vs DuckDB
   list_cosine_similarity (both sides compute in double)
-- LSH-bucketed ANN (random-hyperplane signs)           — rows-only; pytest
-  asserts recall vs the brute-force baseline
+- LSH-bucketed ANN (random-hyperplane signs)           — SQL-oracled since r3
+  (portable-parity hyperplanes); pytest also asserts recall vs brute force
 
 Dot products run JVM-side via zip_with/aggregate higher-order functions — no
 Python, no UDF.  At cluster scale the query side is small and broadcast; the

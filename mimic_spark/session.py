@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("MIMIC_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # TIMESTAMP_MICROS instead of legacy INT96: INT96 carries NO parquet
+        # column statistics, which would blind the manifest ts-range
+        # harvesting (lakehouse/table.py:_footer_stats) and parquet row-group
+        # pruning on ts predicates
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # parquet: keep filter pushdown + column pruning observable in plans
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -168,8 +168,17 @@ class TranscriptCdc:
         )
         return deduped, lineage
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> MergeResult:
-        """foreachBatch body. Idempotent per batch_id."""
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        extra_props: dict | None = None,
+    ) -> MergeResult:
+        """foreachBatch body. Idempotent per batch_id.
+
+        extra_props ride the snapshot commit atomically with the data —
+        consumers use this for cursors that must move exactly with the
+        applied batch (e.g. the change-feed source version)."""
         deduped, lineage = self.prepare(batch)
         # one pass over the source yields BOTH the per-bucket lineage rows and
         # the affected-bucket list for merge pruning (no separate distinct job)
@@ -181,6 +190,7 @@ class TranscriptCdc:
             batch_id=batch_id,
             affected_buckets=affected,
             mode=self.mode,
+            extra_props=extra_props,
         )
         self._record(batch_id, result, lineage_rows)
         if result.mode == "mor" and not result.skipped:

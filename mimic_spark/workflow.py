@@ -24,15 +24,52 @@ with Spark as the engine:
 
 from __future__ import annotations
 
+import hashlib
 import importlib
+import json
 import logging
+import uuid
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mimic_spark.config import merge_config, substitute_variables
 
 log = logging.getLogger(__name__)
+
+
+def _code_version() -> str:
+    """Best-effort git SHA of the engine checkout (reference @git_sha role)."""
+    import os
+    import subprocess
+
+    try:
+        return (
+            subprocess.check_output(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                stderr=subprocess.DEVNULL,
+            )
+            .decode()
+            .strip()
+        )
+    except Exception:
+        return ""
+
+
+def read_run_metadata(spark: SparkSession, md_dir: str) -> DataFrame:
+    return spark.read.parquet(md_dir)
+
+
+def audit_run_metadata(spark: SparkSession, md_dir: str, run_id: str) -> None:
+    """Exactly-one-row-per-run contract (reference mock E2E assertion)."""
+    n = read_run_metadata(spark, md_dir).filter(F.col("run_id") == run_id).count()
+    if n != 1:
+        raise AssertionError(
+            f"run_metadata: expected exactly 1 row for run {run_id!r}, found {n}"
+        )
 
 
 def split_statements(text: str) -> list[str]:
@@ -82,16 +119,66 @@ class Workflow:
         return substitute_variables(text, self.variables)
 
     def run(self) -> list[dict[str, Any]]:
-        for i, step in enumerate(self.conf.get("steps", [])):
-            kind = step.get("type", "sql")
-            name = step.get("name", f"step_{i}")
-            log.info("workflow step %s (%s)", name, kind)
-            fn = getattr(self, f"_run_{kind}", None)
-            if fn is None:
-                raise ValueError(f"unknown step type: {kind!r}")
-            out = fn(step)
-            self.results.append({"name": name, "type": kind, "result": out})
-        return self.results
+        """Execute all steps; stamp exactly one run-metadata row per run.
+
+        The reference stamps every run with id / git SHA / timestamps into
+        ``audit.run_metadata`` (scripts/run_workflow.py:183-203) and its mock
+        E2E asserts exactly one row per run — same contract here: if the
+        conf carries ``run_metadata_dir`` (or variable ``@run_metadata_dir``)
+        one row is appended there whether the run succeeds or aborts."""
+        import time as _time
+
+        self.run_id = str(self.variables.get("run_id") or uuid.uuid4())
+        started = _time.time()
+        status, error = "ok", None
+        try:
+            for i, step in enumerate(self.conf.get("steps", [])):
+                kind = step.get("type", "sql")
+                name = step.get("name", f"step_{i}")
+                log.info("workflow step %s (%s)", name, kind)
+                fn = getattr(self, f"_run_{kind}", None)
+                if fn is None:
+                    raise ValueError(f"unknown step type: {kind!r}")
+                out = fn(step)
+                self.results.append({"name": name, "type": kind, "result": out})
+            return self.results
+        except Exception as e:
+            status, error = "failed", f"{type(e).__name__}: {e}"
+            raise
+        finally:
+            self._write_run_metadata(started, _time.time(), status, error)
+
+    def _write_run_metadata(
+        self, started: float, finished: float, status: str, error: str | None
+    ) -> None:
+        md_dir = self.conf.get("run_metadata_dir") or self.variables.get(
+            "run_metadata_dir"
+        )
+        if not md_dir:
+            return
+        row = {
+            "run_id": self.run_id,
+            "config_digest": hashlib.sha256(
+                json.dumps(self.conf, sort_keys=True, default=str).encode()
+            ).hexdigest(),
+            "code_version": _code_version(),
+            "started_at": datetime.fromtimestamp(started, tz=timezone.utc).isoformat(),
+            "finished_at": datetime.fromtimestamp(finished, tz=timezone.utc).isoformat(),
+            "status": status,
+            "error": error,
+            "n_steps_done": len(self.results),
+            "steps": json.dumps(
+                [{"name": r["name"], "type": r["type"]} for r in self.results]
+            ),
+        }
+        schema = (
+            "run_id string, config_digest string, code_version string,"
+            " started_at string, finished_at string, status string,"
+            " error string, n_steps_done int, steps string"
+        )
+        self.spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(self._sub(str(md_dir)))
 
     # ------------------------------------------------------------- steps
 

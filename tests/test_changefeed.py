@@ -1,0 +1,92 @@
+"""Change-feed consumer: a downstream CDC table converges to the upstream's
+published state through read_changes_since polling ONLY (never touching the
+original changelog), including deletes, incremental polls, and
+checkpoint-free resume after a consumer restart."""
+
+from __future__ import annotations
+
+import os
+
+from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
+from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+from mimic_spark.streaming.changefeed import ChangeFeedConsumer
+
+
+def _published_state(cdc: TranscriptCdc):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["text"], r["role"])
+        for r in cdc.read_published().collect()
+    )
+
+
+def test_changefeed_chains_tables(spark, tmp_table_dir):
+    spec = ChangelogSpec(n_events=3000, n_convs=60, n_chunks=5)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "changelog")
+    )
+    # upstream in MoR mode so delta files keep low lsn_hi footers and the
+    # feed's file pruning is actually exercised (COW would lift every file)
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "upstream"), n_buckets=4,
+        mode="mor", compact_every=0,
+    )
+    down = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "downstream"), n_buckets=4
+    )
+    feed = ChangeFeedConsumer(spark, up.table_path, down)
+
+    # incremental: apply upstream chunk-by-chunk, poll after each — every
+    # poll sees exactly the new slice and the downstream tracks the upstream
+    for i, chunk in enumerate(chunks):
+        run_batched(spark, up, chunks[: i + 1])  # chunks 0..i-1 skip (ledger)
+        applied = feed.run_until_idle()
+        assert applied > 0
+        assert feed.cursor() == up.table.latest_version()
+        assert _published_state(down) == _published_state(up)
+
+    # idle poll: nothing new -> no commit, version stable
+    v = down.table.latest_version()
+    assert feed.poll_once() == 0
+    assert down.table.latest_version() == v
+
+    # deletes flow through the feed as tombstones: upstream applies a
+    # delete-only batch; the feed must remove the same keys downstream
+    victims = [
+        (r["conv_id"], r["turn_idx"])
+        for r in up.read_published().limit(5).collect()
+    ]
+    wm = up.high_watermark()
+    del_rows = [
+        (c, t, "user", "", None, None, wm + 1 + i, "delete")
+        for i, (c, t) in enumerate(victims)
+    ]
+    del_batch = spark.createDataFrame(
+        del_rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string",
+    )
+    up.apply_batch(del_batch, len(chunks))
+    feed.run_until_idle()
+    assert _published_state(down) == _published_state(up)
+    down_keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in down.read_published().collect()
+    }
+    assert not (set(victims) & down_keys)
+
+    # checkpoint-free resume: a brand-new consumer (fresh process role)
+    # derives its cursor from the downstream table itself and sees idle
+    down2 = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "downstream"), n_buckets=4
+    )
+    feed2 = ChangeFeedConsumer(spark, up.table_path, down2)
+    assert feed2.cursor() == up.table.latest_version()
+    assert feed2.poll_once() == 0
+
+    # missing upstream is a hard error, never a silent empty table
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        ChangeFeedConsumer(
+            spark, os.path.join(tmp_table_dir, "nope"), down2
+        )

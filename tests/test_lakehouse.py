@@ -435,3 +435,72 @@ def test_lsn_stats_and_incremental_read(spark, tmp_table_dir):
     assert sorted(tuple(r) for r in rows) == want
     # watermark past the end -> empty feed
     assert t.read_changes_since(10**12).count() == 0
+
+
+def test_time_range_read_prunes_files(spark, tmp_table_dir):
+    """Footer ts stats skip files that can't overlap the queried window:
+    time-clustered appends (the natural event-table shape) prune to the
+    touched slice; results equal the unpruned filter; a MoR snapshot with
+    live deltas falls back to resolve-first (sound under stale versions)."""
+    from datetime import datetime, timedelta
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("_lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, os.path.join(tmp_table_dir, "tsr"), schema,
+        ["conv_id", "turn_idx"], 2,
+    )
+    base = datetime(2025, 1, 1)
+    lsn = 0
+    for day in range(4):  # one append per day -> time-clustered files
+        rows = []
+        for i in range(50):
+            rows.append(
+                (f"c{day}_{i}", i, base + timedelta(days=day, minutes=i), lsn, False)
+            )
+            lsn += 1
+        t.append(spark.createDataFrame(rows, schema))
+
+    snap = t.snapshot()
+    assert all("rows" in f and "ts_lo" in f and "ts_hi" in f for f in snap.files)
+    # manifest row counts sum to the table count with zero Spark jobs
+    assert sum(f["rows"] for f in snap.files) == t.read().count()
+
+    lo, hi = "2025-01-02 00:00:00", "2025-01-02 23:59:59"
+    kept, total = t.files_in_time_range(lo, hi)
+    assert 0 < len(kept) < total  # genuine file skipping
+    got = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in t.read_time_range(lo, hi).collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in t.read().filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).collect()
+    )
+    assert got == want and len(got) == 50
+
+    # a window entirely before the data prunes every file
+    kept0, _ = t.files_in_time_range("1970-01-01 00:00:00", "1970-01-02 00:00:00")
+    assert kept0 == []
+    assert t.read_time_range("1970-01-01 00:00:00", "1970-01-02 00:00:00").count() == 0
+
+    # MoR deltas: an update moves a key's latest version OUTSIDE the window;
+    # the fallback must not resurrect the stale in-window version
+    upd = spark.createDataFrame(
+        [("c1_0", 0, "update", 10_000, base + timedelta(days=30))],
+        "conv_id string, turn_idx int, op string, lsn long, ts timestamp",
+    )
+    merge_into(t, upd, batch_id=0, mode="mor")
+    assert any(f.get("delta") for f in t.snapshot().files)
+    got2 = {
+        (r["conv_id"], r["turn_idx"])
+        for r in t.read_time_range(lo, hi).collect()
+    }
+    assert ("c1_0", 0) not in got2
+    assert len(got2) == 49

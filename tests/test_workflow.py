@@ -37,8 +37,10 @@ def test_workflow_end_to_end(spark, tmp_table_dir):
     with open(ddl_path, "w") as f:
         f.write("CREATE TABLE roles (role_id INTEGER, role VARCHAR(16));")
 
+    md_dir = os.path.join(tmp_table_dir, "run_metadata")
     conf = {
         "variables": {"base": tmp_table_dir, "table": "@base/transcripts"},
+        "run_metadata_dir": md_dir,
         "steps": [
             {
                 "name": "load_dims",
@@ -83,13 +85,36 @@ GROUP BY r.role_id, t.role;
     assert sum(rollup.values()) == spark.table("transcripts").count()
     assert results[3]["result"]["key_uniqueness"]["ok"]
 
-    # the audit step gates: impossible expectation aborts the workflow
+    # exactly one run-metadata row per run (reference audit.run_metadata,
+    # scripts/run_workflow.py:183-203; mock E2E asserts exactly-1)
+    import json as _json
+
+    from mimic_spark.workflow import audit_run_metadata, read_run_metadata
+
+    md = read_run_metadata(spark, md_dir).collect()
+    assert len(md) == 1
+    row = md[0]
+    assert row["status"] == "ok" and row["error"] is None
+    assert row["n_steps_done"] == 4
+    assert [s["name"] for s in _json.loads(row["steps"])] == [
+        "load_dims", "apply_cdc", "rollup", "gate",
+    ]
+    assert row["config_digest"] and len(row["config_digest"]) == 64
+    audit_run_metadata(spark, md_dir, row["run_id"])
+
+    # the audit step gates: impossible expectation aborts the workflow —
+    # and the aborted run STILL stamps a (failed) run-metadata row
     conf_bad = dict(conf)
     conf_bad["steps"] = conf["steps"][:3] + [
         {"name": "gate", "type": "audit", "expected_final_count": -1}
     ]
     with pytest.raises(AuditError):
         run_workflow(spark, conf_bad)
+    md2 = read_run_metadata(spark, md_dir).collect()
+    assert len(md2) == 2
+    failed = [r for r in md2 if r["status"] == "failed"]
+    assert len(failed) == 1 and "AuditError" in failed[0]["error"]
+    assert failed[0]["run_id"] != row["run_id"]
 
 
 def test_full_workflow_conf_reproduces_flagship(spark, tmp_table_dir):
