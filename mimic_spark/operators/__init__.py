@@ -9,6 +9,7 @@ from mimic_spark.operators import dedup  # noqa: F401,E402
 from mimic_spark.operators import similarity  # noqa: F401,E402
 from mimic_spark.operators import multimodal  # noqa: F401,E402
 from mimic_spark.operators import skew  # noqa: F401,E402
+from mimic_spark.operators import packing  # noqa: F401,E402
 from mimic_spark.operators import cdc_flagship  # noqa: F401,E402
 
 # The driver's correctness gate checks the FIRST 50 registered queries.

@@ -67,7 +67,17 @@ class ChangeFeedConsumer:
         cur_v = self.upstream.latest_version()
         if cur_v <= last_v:
             return 0
-        changes = self.upstream.read_changes_between(last_v, cur_v)
+        try:
+            changes = self.upstream.read_changes_between(last_v, cur_v)
+        except FileNotFoundError as e:
+            # the cursor's snapshot was expired by upstream retention: the
+            # version diff is gone, so an incremental read would silently
+            # lose history — fail loud and tell the operator what to do
+            raise RuntimeError(
+                f"change-feed cursor v{last_v} is older than the upstream "
+                f"table's snapshot retention; reset the cursor (drop the "
+                f"'{CURSOR_PROP}' property) to trigger a full backfill"
+            ) from e
         payload = [c for c in changes.columns if not c.startswith("_")]
         batch = changes.select(
             *payload,

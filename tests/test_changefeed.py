@@ -90,3 +90,28 @@ def test_changefeed_chains_tables(spark, tmp_table_dir):
         ChangeFeedConsumer(
             spark, os.path.join(tmp_table_dir, "nope"), down2
         )
+
+
+def test_changefeed_expired_cursor_fails_loud(spark, tmp_table_dir):
+    """If upstream snapshot retention expired the cursor's version, an
+    incremental read would silently lose history — the consumer must raise
+    with reset instructions instead."""
+    import pytest
+
+    from mimic_spark.lakehouse.maintenance import expire_snapshots
+
+    spec = ChangelogSpec(n_events=1000, n_convs=30, n_chunks=4)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "cl")
+    )
+    up = TranscriptCdc(spark, os.path.join(tmp_table_dir, "u"), n_buckets=2)
+    down = TranscriptCdc(spark, os.path.join(tmp_table_dir, "d"), n_buckets=2)
+    feed = ChangeFeedConsumer(spark, up.table_path, down)
+
+    run_batched(spark, up, chunks[:1])
+    feed.run_until_idle()
+    run_batched(spark, up, chunks)  # more upstream versions
+    expire_snapshots(up.table, keep_last=1)  # cursor's snapshot is gone
+
+    with pytest.raises(RuntimeError, match="full backfill"):
+        feed.poll_once()

@@ -504,3 +504,45 @@ def test_time_range_read_prunes_files(spark, tmp_table_dir):
     }
     assert ("c1_0", 0) not in got2
     assert len(got2) == 49
+
+
+def test_read_changes_all_versions_and_merge_rename_translation(spark, tmp_table_dir):
+    """all_versions=True returns every surviving row version past the
+    watermark on an uncompacted MoR table (net-change default collapses to
+    the latest); and a lagging MERGE writer emitting a renamed-away column
+    is translated through the rename map (not re-added as a new column)."""
+    from mimic_spark.lakehouse.merge import ensure_internal_schema
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, os.path.join(tmp_table_dir, "av"), ensure_internal_schema(schema),
+        ["conv_id", "turn_idx"], 2,
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, op string, lsn long, text string"
+    )
+    merge_into(t, mk([("a", 0, "insert", 0, "v0")]), batch_id=0, mode="mor")
+    merge_into(t, mk([("a", 0, "update", 8, "v8")]), batch_id=1, mode="mor")
+    merge_into(t, mk([("a", 0, "update", 10, "v10")]), batch_id=2, mode="mor")
+
+    net = t.read_changes_since(7).collect()
+    assert [(r["_lsn"], r["text"]) for r in net] == [(10, "v10")]
+    full = sorted(
+        (r["_lsn"], r["text"])
+        for r in t.read_changes_since(7, all_versions=True).collect()
+    )
+    assert full == [(8, "v8"), (10, "v10")]
+
+    # rename, then a lagging writer merges with the OLD column name
+    t.rename_column("text", "body")
+    merge_into(t, mk([("b", 1, "insert", 11, "late")]), batch_id=3, mode="mor")
+    cols = t.read().columns
+    assert "body" in cols and "text" not in cols
+    got = {(r["conv_id"], r["turn_idx"]): r["body"] for r in t.read().collect()}
+    assert got[("b", 1)] == "late" and got[("a", 0)] == "v10"

@@ -328,3 +328,77 @@ def test_new_ops_plan_shapes(spark):
     facts, plan = plan_of("era_variable_intervals")
     assert facts["row_python"] == 0
     assert facts["exchanges"] == 1  # one user_id shuffle reused end-to-end
+
+
+def test_query_caches_released_between_catalog_calls(spark):
+    """cache_for_query keeps the reuse win inside one query but the NEXT
+    catalog invocation releases it — no cross-query cache dependence and no
+    unbounded cached-RDD growth across a catalog sweep (r2 verdict #1/#3)."""
+    from mimic_spark.operators.catalog import _QUERY_CACHES
+
+    sc = spark.sparkContext
+
+    def stored_ids():
+        return {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+
+    # delta-based: other tests may legitimately leave localCheckpoint blocks
+    # in storage; this test owns only the blocks the minhash query adds
+    before = stored_ids()
+    OPS["dedup_minhash_lsh"].fn(spark, SF).collect()  # caches shingles
+    assert len(_QUERY_CACHES) > 0
+    added = stored_ids() - before
+    assert added  # the cache actually materialized
+    OPS["q1_pricing_summary"].fn(spark, SF).collect()  # next query releases
+    assert len(_QUERY_CACHES) == 0
+    # unpersist is async (blocking=False); poll briefly for the blocks to drop
+    import time
+
+    for _ in range(50):
+        if not (stored_ids() & added):
+            break
+        time.sleep(0.1)
+    assert not (stored_ids() & added)
+
+
+def test_sequence_packing_invariants(spark):
+    """Next-fit packing: every doc assigned once; packs are contiguous runs
+    in shard order; a pack never exceeds CAP + its last doc's tokens (the
+    next-fit overflow bound); deterministic across runs."""
+    from mimic_spark.operators.packing import PACK_CAP_TOKENS
+
+    fn = OPS["pack_sequences"].fn
+    rows = sorted(
+        (r["shard"], r["doc_id"], r["n_tokens"], r["pack_id"], r["offset_in_pack"])
+        for r in fn(spark, SF).collect()
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs
+    assert len({r[1] for r in rows}) == docs  # every doc exactly once
+
+    by_shard = {}
+    for shard, doc_id, n_tokens, pack_id, off in rows:
+        by_shard.setdefault(shard, []).append((doc_id, n_tokens, pack_id, off))
+    for shard, items in by_shard.items():
+        items.sort()
+        cum = 0
+        prev_pack = 0
+        pack_tokens = {}
+        for doc_id, n_tokens, pack_id, off in items:
+            assert pack_id >= prev_pack  # contiguous, never decreasing
+            assert off == cum % PACK_CAP_TOKENS
+            assert pack_id == cum // PACK_CAP_TOKENS
+            pack_tokens[pack_id] = pack_tokens.get(pack_id, 0) + n_tokens
+            cum += n_tokens
+            prev_pack = pack_id
+        # next-fit bound: pack total < CAP + max single doc in that pack
+        for pid, total in pack_tokens.items():
+            last_doc_tokens = max(
+                t for d, t, p, o in items if p == pid
+            )
+            assert total <= PACK_CAP_TOKENS + last_doc_tokens
+
+    again = sorted(
+        (r["shard"], r["doc_id"], r["n_tokens"], r["pack_id"], r["offset_in_pack"])
+        for r in fn(spark, SF).collect()
+    )
+    assert rows == again
