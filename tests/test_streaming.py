@@ -216,7 +216,11 @@ def test_normalize_arrow_equals_python_twin_fuzz():
         [chr(c) for c in range(0x20, 0x7F)]
         + ["\t", "\n", "\r", "\x00", "\x07", "\x0b", "\x1f", "\x7f", "\x85",
            "\xa0", " ", " ", "　", "​", "é", "\xe9",
-           "\xf1", "字"]
+           "\xf1", "字",
+           # decomposed combining sequences + lone combining marks: the r3
+           # reorder (C++ space/ctrl passes BEFORE NFC) must commute — a
+           # combining mark right after NBSP/space/ctrl is the sharp edge
+           "e\u0301", "\u0301", "n\u0303", "\u212b", "\u2126"]
     )
     cases = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
