@@ -4,6 +4,11 @@ entry      — flagship CDC run at sf0.001 scale (smoke check).
 queries    — one entry per implemented operator from SURVEY.md §2 / the
              training-data op set; see mimic_spark/operators/*.
 oracle_sql — DuckDB-runnable ANSI SQL twins for every SQL-expressible op.
+
+Registration order is oracled-first (mimic_spark/operators/__init__.py): the
+50 oracled queries occupy positions 1-50 so they all land inside the
+driver's 50-entry correctness window; the 5 rows-only entries (pytest twins,
+see COVERAGE.md) register after.
 """
 
 from __future__ import annotations
