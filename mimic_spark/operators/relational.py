@@ -638,12 +638,17 @@ def deterministic_row_id_op(spark: SparkSession, sf: str) -> DataFrame:
     from mimic_spark.functions.hashing import trace_id
 
     (o,) = load_tables(spark, sf, "orders")
-    return o.select(
+    # materialize the canonical JSON once, then hash the column reference —
+    # inlining the to_json call into the hash expression would evaluate it
+    # once per rolling hash (the 62-bit id runs two)
+    staged = o.select(
         "o_orderkey",
-        F.expr(_spark_row_id("to_json(struct(o_orderkey AS orderkey, o_custkey AS custkey))")).alias(
-            "load_row_id"
-        ),
         trace_id(orderkey="o_orderkey", custkey="o_custkey").alias("trace_id"),
+    )
+    return staged.select(
+        "o_orderkey",
+        F.expr(_spark_row_id("trace_id")).alias("load_row_id"),
+        "trace_id",
     )
 
 
