@@ -33,34 +33,54 @@ def referenced_paths(table: SnapshotTable, versions: list[int]) -> set[str]:
     return out
 
 
+def _drop_empty_commit_dirs(table: SnapshotTable, older_than_s: float = 3600.0) -> None:
+    """Remove commit directories holding no parquet (markers like _SUCCESS
+    only).  Age-guarded: a parquet-less directory younger than the cutoff
+    may be an in-flight writer still staging under _temporary/."""
+    import time
+
+    cutoff = time.time() - older_than_s
+    data_dir = os.path.join(table.path, "data")
+    if not os.path.isdir(data_dir):
+        return
+    for commit_dir in sorted(os.listdir(data_dir)):
+        cpath = os.path.join(data_dir, commit_dir)
+        has_parquet = any(
+            fn.endswith(".parquet")
+            for _r, _d, fns in os.walk(cpath)
+            for fn in fns
+        )
+        try:
+            old_enough = os.path.getmtime(cpath) <= cutoff
+        except FileNotFoundError:
+            continue
+        if not has_parquet and old_enough:
+            shutil.rmtree(cpath, ignore_errors=True)
+
+
 def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
-    """Delete snapshots older than the newest keep_last, plus any data file
-    (or whole orphaned commit directory) they alone referenced."""
-    latest = table.latest_version()
-    keep = list(range(max(0, latest - keep_last + 1), latest + 1))
-    expired = list(range(0, keep[0]))
+    """Delete snapshots older than the newest keep_last, plus data files only
+    the expired snapshots referenced.
+
+    Deliberately touches ONLY files referenced by some expired snapshot (the
+    Iceberg expire-snapshots contract): a file on disk referenced by NO
+    snapshot at all may belong to an in-flight writer that has not committed
+    yet — deleting it here would corrupt that writer's commit.  Those true
+    orphans (crashed writers) are remove_orphan_files' job, which carries an
+    age guard for exactly that race."""
+    existing = table.versions()
+    keep = existing[-keep_last:] if keep_last > 0 else []
+    expired = [v for v in existing if v not in keep]
     live = referenced_paths(table, keep)
+    doomed = referenced_paths(table, expired) - live
 
     removed_files = 0
-    data_dir = os.path.join(table.path, "data")
-    if os.path.isdir(data_dir):
-        for commit_dir in sorted(os.listdir(data_dir)):
-            cpath = os.path.join(data_dir, commit_dir)
-            for root, _dirs, files in os.walk(cpath):
-                for fn in files:
-                    full = os.path.join(root, fn)
-                    rel = os.path.relpath(full, table.path)
-                    if fn.endswith(".parquet") and rel not in live:
-                        os.remove(full)
-                        removed_files += 1
-            # drop directories emptied of parquet (markers like _SUCCESS too)
-            has_parquet = any(
-                fn.endswith(".parquet")
-                for _r, _d, fns in os.walk(cpath)
-                for fn in fns
-            )
-            if not has_parquet:
-                shutil.rmtree(cpath, ignore_errors=True)
+    for rel in sorted(doomed):
+        full = os.path.join(table.path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            removed_files += 1
+    _drop_empty_commit_dirs(table)
 
     removed_snaps = 0
     for v in expired:
@@ -73,6 +93,43 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
         "removed_data_files": removed_files,
         "kept_versions": keep,
     }
+
+
+def remove_orphan_files(table: SnapshotTable, older_than_s: float = 3600.0) -> dict:
+    """Delete data files referenced by NO live snapshot (Iceberg's
+    remove-orphan-files action).
+
+    Orphans come from crashed writers: write_data_files lands a uuid'd
+    commit directory BEFORE the atomic snapshot commit, so a writer that
+    dies in between leaks the whole directory — no snapshot ever references
+    it, so expire_snapshots never touches it.  The ``older_than_s`` age
+    guard (mtime) is the correctness condition: a file younger than the
+    cutoff may belong to an in-flight writer whose commit is about to
+    happen, so it is left alone (same contract as Iceberg's
+    ``older_than`` / ``retainLast`` guard)."""
+    import time
+
+    live = referenced_paths(table, table.versions())
+    cutoff = time.time() - older_than_s
+    removed = 0
+    data_dir = os.path.join(table.path, "data")
+    if os.path.isdir(data_dir):
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, table.path)
+                if rel in live:
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                        removed += 1
+                except FileNotFoundError:
+                    pass  # racing writer finished/cleaned; nothing to do
+    _drop_empty_commit_dirs(table)
+    return {"removed_orphan_files": removed}
 
 
 def compact(

@@ -546,3 +546,50 @@ def test_read_changes_all_versions_and_merge_rename_translation(spark, tmp_table
     assert "body" in cols and "text" not in cols
     got = {(r["conv_id"], r["turn_idx"]): r["body"] for r in t.read().collect()}
     assert got[("b", 1)] == "late" and got[("a", 0)] == "v10"
+
+
+def test_orphan_gc_and_expiry_leave_inflight_writers_alone(spark, tmp_table_dir):
+    """A crashed writer's uncommitted commit-dir is invisible to every
+    snapshot: expire_snapshots must NOT delete it (it could be in-flight);
+    remove_orphan_files deletes it once older than the age guard, and never
+    touches referenced files."""
+    import time
+
+    from mimic_spark.lakehouse.maintenance import remove_orphan_files
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("x", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, os.path.join(tmp_table_dir, "og"), schema, ["conv_id", "turn_idx"], 2
+    )
+    t.append(spark.createDataFrame([("a", 0, 1)], schema))
+    t.append(spark.createDataFrame([("b", 1, 2)], schema))
+
+    # simulate a crashed writer: files written, commit never happened
+    orphans = t.write_data_files(
+        spark.createDataFrame([("c", 2, 3)], schema), t.latest_version() + 1
+    )
+    orphan_paths = [os.path.join(t.path, f["path"]) for f in orphans]
+    assert all(os.path.exists(p) for p in orphan_paths)
+
+    # expiry ignores never-referenced files (in-flight writer safety)
+    expire_snapshots(t, keep_last=1)
+    assert all(os.path.exists(p) for p in orphan_paths)
+
+    # young orphans survive the age guard...
+    assert remove_orphan_files(t, older_than_s=3600)["removed_orphan_files"] == 0
+    assert all(os.path.exists(p) for p in orphan_paths)
+    # ...aged ones are collected; live files untouched; table still reads
+    old = time.time() - 7200
+    for p in orphan_paths:
+        os.utime(p, (old, old))
+    res = remove_orphan_files(t, older_than_s=3600)
+    assert res["removed_orphan_files"] == len(orphan_paths)
+    assert not any(os.path.exists(p) for p in orphan_paths)
+    assert {r["conv_id"] for r in t.read().collect()} == {"a", "b"}
+    assert remove_orphan_files(t, older_than_s=0)["removed_orphan_files"] == 0
