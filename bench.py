@@ -1,13 +1,20 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR + CDC throughput.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "cdc": {...},                       # measured in this run
-   "cdc_scaling": {...}}               # recorded N->4N study (BENCH/scaling.json)
+Output contract (the driver tails stdout, so the LAST line must be one
+COMPACT JSON object that survives a bounded tail capture — r3's single
+giant line was truncated to `parsed: null` in the round record):
 
-The N->4N scaling study needs two JVMs (~10 min) and lives in
-BENCH/BASELINE.md / BENCH/scaling.json with exact repro commands;
+  last stdout line  -> {"metric", "value" (steady total sec), "unit",
+                        "queries" {name: steady sec}, "sf",
+                        "value_cold", "cdc" {cow/mor median ev/s, median_of},
+                        "scaling" {pair, efficiency}, "detail": path}
+  BENCH/latest.json -> full detail: cold per-query map, every CDC sample,
+                       large-batch study, scaling runs.
+
+CDC points are median-of-3 (the box shows ±20% single-sample variance;
+a single sample made r3 look like a regression while the builder's own
+medians improved).  The N->4N scaling study needs two JVMs (~10 min) and
+lives in BENCH/BASELINE.md / BENCH/scaling.json with exact repro commands;
 set SPARK_GRAFT_BENCH_FULL=1 to re-run it inline here.
 """
 
@@ -110,24 +117,34 @@ def main() -> int:
         else "/tmp/mimic_spark_bench"
     )
     here = os.path.dirname(os.path.abspath(__file__))
-    cdc_info = {}
+    n_cdc_samples = int(os.environ.get("SPARK_GRAFT_CDC_SAMPLES", "3"))
+    cdc_info: dict[str, dict] = {}
     for mode in ("cow", "mor"):
-        out = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(here, "tools", "bench_cdc.py"),
-                "--parallelism", "8",
-                "--n-events", str(CDC_BENCH_EVENTS),
-                "--n-chunks", "2",
-                "--n-convs", str(max(1000, CDC_BENCH_EVENTS // 40)),
-                "--workdir", base,
-                "--mode", mode,
-            ],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        cdc_info[mode] = json.loads(out.stdout.strip().splitlines()[-1])
+        samples = []
+        for _ in range(n_cdc_samples):
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(here, "tools", "bench_cdc.py"),
+                    "--parallelism", "8",
+                    "--n-events", str(CDC_BENCH_EVENTS),
+                    "--n-chunks", "2",
+                    "--n-convs", str(max(1000, CDC_BENCH_EVENTS // 40)),
+                    "--workdir", base,
+                    "--mode", mode,
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            samples.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        by_rate = sorted(samples, key=lambda s: s["events_per_sec"])
+        median = by_rate[len(by_rate) // 2]
+        cdc_info[mode] = {
+            **median,
+            "events_per_sec_samples": [s["events_per_sec"] for s in by_rate],
+            "median_of": n_cdc_samples,
+        }
     # MoR (+ amortized compaction) is the documented default posture for
     # write-hot streams at scale: COW degenerates to a full-table rewrite
     # once every batch touches all buckets — see lakehouse/merge.py docs.
@@ -178,22 +195,52 @@ def main() -> int:
             "see": "BENCH/BASELINE.md",
         }
 
-    print(
-        json.dumps(
+    # Full detail -> file; the FINAL stdout line stays compact so the
+    # driver's bounded tail capture parses it (r3 lesson: one giant line
+    # was truncated and the round's headline number was lost).
+    detail = {
+        "metric": "headline suite wall seconds (14 operators, noop sink, steady-state pass; cold pass incl. plan compile reported alongside) + CDC changelog->upsert throughput",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
+        "value_cold": round(total_cold, 2),
+        "queries_cold": queries_cold,
+        "sf": sf,
+        "cdc": cdc_info,
+        "cdc_large_batch": large_batch,
+        "cdc_scaling": scaling,
+    }
+    detail_path = os.path.join(here, "BENCH", "latest.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    compact = {
+        "metric": "headline steady sec (14 ops) + CDC ev/s (median of %d)"
+        % n_cdc_samples,
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "value_cold": round(total_cold, 2),
+        "cdc": {
+            "cow_events_per_sec": cdc_info["cow"]["events_per_sec"],
+            "mor_events_per_sec": cdc_info["mor"]["events_per_sec"],
+            "median_of": n_cdc_samples,
+            "n_events": CDC_BENCH_EVENTS,
+        },
+        "scaling": (
             {
-                "metric": "headline suite wall seconds (14 operators, noop sink, steady-state pass; cold pass incl. plan compile reported alongside) + CDC changelog->upsert throughput",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": queries,
-                "value_cold": round(total_cold, 2),
-                "queries_cold": queries_cold,
-                "sf": sf,
-                "cdc": cdc_info,
-                "cdc_large_batch": large_batch,
-                "cdc_scaling": scaling,
+                "pair": "1->4",
+                "efficiency": scaling["scaling_efficiency"],
             }
-        )
-    )
+            if scaling
+            else None
+        ),
+        "detail": "BENCH/latest.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact), flush=True)
     return 0
 
 

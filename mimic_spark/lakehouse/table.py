@@ -112,6 +112,31 @@ class Snapshot:
         return self.schemas[self.schema_id]
 
 
+def _norm_ts_str(v: Any) -> str:
+    """Normalize a timestamp (datetime or ISO string, tz-aware or naive) to a
+    naive-UTC ``YYYY-MM-DD HH:MM:SS[.ffffff]`` string so manifest stats and
+    query bounds compare lexically.
+
+    Spark writes TIMESTAMP_MICROS with isAdjustedToUTC=true, so pyarrow hands
+    back *tz-aware* datetimes; a raw ``isoformat(sep=' ')`` would append
+    ``+00:00`` and break lexical comparison exactly at an inclusive boundary
+    (``'...00:00:00+00:00' > '...00:00:00'`` prunes a file whose min equals
+    the upper bound).  Strip to naive UTC before storing or comparing.
+    """
+    import datetime as _dt
+
+    if isinstance(v, str):
+        try:
+            v = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return v  # not parseable — caller compares as-is
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    return str(v)
+
+
 def _footer_stats(
     parquet_path: str,
     int_cols: tuple[str, ...] = ("_lsn",),
@@ -151,10 +176,11 @@ def _footer_stats(
                 continue
             key = "lsn" if col == "_lsn" else col
             if is_ts:
-                # space separator (not 'T') so the strings compare lexically
-                # against "YYYY-MM-DD HH:MM:SS[.ffffff]" query bounds
-                out[f"{key}_lo"] = lo.isoformat(sep=" ")
-                out[f"{key}_hi"] = hi.isoformat(sep=" ")
+                # naive-UTC, space-separated — compares lexically against
+                # "YYYY-MM-DD HH:MM:SS[.ffffff]" query bounds (tz suffix
+                # stripped; see _norm_ts_str)
+                out[f"{key}_lo"] = _norm_ts_str(lo)
+                out[f"{key}_hi"] = _norm_ts_str(hi)
             else:
                 out[f"{key}_lo"], out[f"{key}_hi"] = int(lo), int(hi)
     except Exception:  # stats are an optimization, never a correctness gate
@@ -542,6 +568,27 @@ class SnapshotTable:
             return df.limit(0)
         return df.filter(F.col("_lsn") > F.lit(int(lsn)))
 
+    def _bound_to_utc(self, s: str) -> str:
+        """Session-local bound string -> naive-UTC string (lexically
+        comparable with manifest ts stats, which are stored naive-UTC)."""
+        import datetime as _dt
+
+        try:
+            d = _dt.datetime.fromisoformat(s)
+        except ValueError:
+            return s
+        if d.tzinfo is None:
+            tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            try:
+                from zoneinfo import ZoneInfo
+
+                d = d.replace(tzinfo=ZoneInfo(tz))
+            except Exception:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+        return d.astimezone(_dt.timezone.utc).replace(tzinfo=None).isoformat(
+            sep=" "
+        )
+
     def files_in_time_range(
         self, lo: str, hi: str, version: int | None = None
     ) -> tuple[list[dict[str, Any]], int]:
@@ -551,11 +598,17 @@ class SnapshotTable:
         ISO stats — valid because ISO-8601 orders lexicographically.  Files
         without ts stats are conservatively kept."""
         snap = self.snapshot(version)
+        # normalize BOTH sides to naive-UTC strings: manifests written before
+        # the tz fix stored '+00:00' suffixes, and query bounds are
+        # interpreted in the session timezone (engine default: UTC)
+        lo, hi = self._bound_to_utc(lo), self._bound_to_utc(hi)
         kept = [
             f
             for f in snap.files
             if f.get("ts_lo") is None
-            or not (f["ts_hi"] < lo or f["ts_lo"] > hi)
+            or not (
+                _norm_ts_str(f["ts_hi"]) < lo or _norm_ts_str(f["ts_lo"]) > hi
+            )
         ]
         return kept, len(snap.files)
 
@@ -663,6 +716,7 @@ class SnapshotTable:
             return df
         cols = set(df.columns)
         sel = []
+        seen_targets: dict[str, str] = {}  # target -> source that claimed it
         for c in df.columns:
             tgt = renames.get(c, c)
             if tgt != c and tgt in cols:
@@ -670,6 +724,15 @@ class SnapshotTable:
                     f"incoming batch carries both {c!r} and its renamed form "
                     f"{tgt!r}; drop one before writing"
                 )
+            if tgt in seen_targets:
+                # chain-flattened map ({a: c, b: c} after a->b->c): a batch
+                # carrying two HISTORICAL names of the same column would
+                # otherwise select two columns both aliased to the target
+                raise ValueError(
+                    f"incoming batch columns {seen_targets[tgt]!r} and {c!r} "
+                    f"both translate to {tgt!r}; drop one before writing"
+                )
+            seen_targets[tgt] = c
             sel.append(F.col(c).alias(tgt))
         return df.select(*sel)
 

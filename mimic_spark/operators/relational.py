@@ -631,10 +631,17 @@ FROM t
 def deterministic_row_id_op(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic row identity from the natural key's canonical JSON —
     the reference's FARM_FINGERPRINT(TO_JSON_STRING(STRUCT(...))) role
-    (st_hosp_base.sql:28-33).  This catalog form uses the portable 62-bit
-    polynomial hash (functions/portable_hash.py) so DuckDB value-checks it;
-    the engine's hot-path id (functions/hashing.py, xxhash64) keeps its own
-    determinism pytest (ref test_deterministic_load_row_id.py)."""
+    (st_hosp_base.sql:28-33).
+
+    ORACLE TWIN, NOT THE PRODUCTION ID PATH.  This catalog form uses the
+    portable 62-bit polynomial hash (functions/portable_hash.py) purely so
+    DuckDB can value-check the id bit-for-bit; it is an interpreted
+    per-character Catalyst expression (CodegenFallback) and MUST NOT migrate
+    into the CDC hot path.  The engine's production id is
+    functions/hashing.py:deterministic_row_id (xxhash64 — JVM codegen'd,
+    ~100x faster), with its own determinism pytest
+    (ref test_deterministic_load_row_id.py); a marker test asserts the CDC
+    schema's id derives from xxhash64, never from this twin."""
     from mimic_spark.functions.hashing import trace_id
 
     (o,) = load_tables(spark, sf, "orders")

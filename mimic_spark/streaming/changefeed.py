@@ -97,16 +97,39 @@ class ChangeFeedConsumer:
                 props_update={CURSOR_PROP: cur_v},
             )
             return 0
-        batch_id = self.cdc._ledger_hwm + 1
-        self.cdc.apply_batch(batch, batch_id, extra_props={CURSOR_PROP: cur_v})
-        return n
+        # max() over BOTH the ledger high-watermark and the table's committed
+        # last_batch_id: a crash between the merge commit and the ledger
+        # append leaves _ledger_hwm one behind, and hwm+1 alone would collide
+        # with the already-committed id — the merge would be skipped by the
+        # idempotence guard while this poll still reported n rows applied
+        batch_id = (
+            max(
+                self.cdc._ledger_hwm,
+                int(self.cdc.table.props().get("last_batch_id", -1)),
+            )
+            + 1
+        )
+        result = self.cdc.apply_batch(
+            batch, batch_id, extra_props={CURSOR_PROP: cur_v}
+        )
+        if result.skipped:  # unreachable with the derivation above; fail loud
+            raise RuntimeError(
+                f"change-feed batch id {batch_id} collided with an already-"
+                f"committed merge; cursor did not advance past v{last_v}"
+            )
+        # what the merge actually wrote, not the pre-merge count (events can
+        # be absorbed by the LSN staleness guard after a cursor reset)
+        return int(result.rows_applied)
 
     def run_until_idle(self, max_polls: int = 1000) -> int:
-        """Poll until a poll finds nothing new; returns total rows applied."""
+        """Poll until the cursor is current with upstream; returns total rows
+        applied.  Terminates on cursor currency, not on rows-applied==0 — a
+        poll can legitimately apply 0 rows (all events stale under the LSN
+        guard) while still advancing the cursor with more versions behind."""
         total = 0
         for _ in range(max_polls):
             n = self.poll_once()
-            if n == 0:
-                return total
             total += n
+            if n == 0 and self.cursor() >= self.upstream.latest_version():
+                return total
         raise RuntimeError(f"change feed still busy after {max_polls} polls")

@@ -146,7 +146,19 @@ class Workflow:
             status, error = "failed", f"{type(e).__name__}: {e}"
             raise
         finally:
-            self._write_run_metadata(started, _time.time(), status, error)
+            # best-effort audit row: if the metadata write itself fails (bad
+            # run_metadata_dir, session died — exactly when a step just
+            # failed), it must not replace the original step exception
+            try:
+                self._write_run_metadata(started, _time.time(), status, error)
+            except Exception:
+                log.exception(
+                    "run-metadata write failed (run_id=%s, status=%s)",
+                    self.run_id,
+                    status,
+                )
+                if status == "ok":  # nothing to mask on the success path
+                    raise
 
     def _write_run_metadata(
         self, started: float, finished: float, status: str, error: str | None

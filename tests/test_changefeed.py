@@ -92,6 +92,48 @@ def test_changefeed_chains_tables(spark, tmp_table_dir):
         )
 
 
+def test_changefeed_crash_between_merge_and_ledger(spark, tmp_table_dir):
+    """A crash after the merge commit but before the ledger append leaves
+    the ledger high-watermark one behind the table's committed
+    last_batch_id.  The next poll must derive a FRESH batch id (not collide
+    with the committed one, which would skip the merge while still
+    reporting rows applied) and the feed must still converge with accurate
+    per-poll counts."""
+    spec = ChangelogSpec(n_events=1200, n_convs=30, n_chunks=3)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "cl2")
+    )
+    up = TranscriptCdc(spark, os.path.join(tmp_table_dir, "u2"), n_buckets=2)
+    down = TranscriptCdc(spark, os.path.join(tmp_table_dir, "d2"), n_buckets=2)
+    feed = ChangeFeedConsumer(spark, up.table_path, down)
+
+    run_batched(spark, up, chunks[:1])
+    feed.run_until_idle()
+    assert _published_state(down) == _published_state(up)
+
+    # crash window: merge + cursor committed, ledger row lost.  Simulate by
+    # suppressing _record for one poll — the table carries last_batch_id=N
+    # while the ledger hwm stays at N-1, exactly the post-crash state.
+    run_batched(spark, up, chunks[:2])
+    real_record = TranscriptCdc._record
+    TranscriptCdc._record = lambda self, *a, **k: None
+    try:
+        feed.poll_once()
+    finally:
+        TranscriptCdc._record = real_record
+    committed = int(down.table.props().get("last_batch_id"))
+    assert down._ledger_hwm < committed  # the crash state we mean to test
+
+    # restart role: a fresh consumer must apply the NEXT slice, not collide
+    run_batched(spark, up, chunks)
+    n = feed.poll_once()
+    assert n > 0  # merge genuinely applied (a collision would have raised)
+    assert int(down.table.props().get("last_batch_id")) == committed + 1
+    feed.run_until_idle()
+    assert feed.cursor() == up.table.latest_version()
+    assert _published_state(down) == _published_state(up)
+
+
 def test_changefeed_expired_cursor_fails_loud(spark, tmp_table_dir):
     """If upstream snapshot retention expired the cursor's version, an
     incremental read would silently lose history — the consumer must raise

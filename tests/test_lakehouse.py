@@ -400,6 +400,18 @@ def test_rename_column_evolution(spark, tmp_table_dir):
             )
         )
 
+    # two HISTORICAL names of the same column ('text' and 'body' both map to
+    # 'content' in the chain-flattened map) would select two columns both
+    # aliased 'content' -> duplicate-column DataFrame; must be rejected too
+    with pytest.raises(ValueError, match="both translate"):
+        t.append(
+            spark.createDataFrame(
+                [("e", 4, "x", "y", 5, False)],
+                "conv_id string, turn_idx int, text string, body string,"
+                " _lsn long, _deleted boolean",
+            )
+        )
+
 
 def test_lsn_stats_and_incremental_read(spark, tmp_table_dir):
     """File entries carry footer-harvested _lsn min/max; read_changes_since
@@ -484,6 +496,27 @@ def test_time_range_read_prunes_files(spark, tmp_table_dir):
         for r in t.read().filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).collect()
     )
     assert got == want and len(got) == 50
+
+    # boundary equality: hi exactly AT a file's min ts must keep that file.
+    # Spark writes TIMESTAMP_MICROS as UTC instants, so pyarrow returns
+    # tz-aware stats; un-normalized they'd serialize with a '+00:00' suffix
+    # and lexically exceed the naive bound, wrongly pruning this file.
+    for f in snap.files:  # stats must be stored tz-suffix-free
+        assert "+" not in f["ts_lo"] and "+" not in f["ts_hi"], f["ts_lo"]
+    blo, bhi = "2025-01-01 00:00:00", "2025-01-02 00:00:00"
+    got_b = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in t.read_time_range(blo, bhi).collect()
+    )
+    want_b = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in t.read()
+        .filter((F.col("ts") >= blo) & (F.col("ts") <= bhi))
+        .collect()
+    )
+    assert got_b == want_b
+    assert ("c1_0", 0) in got_b  # the row AT the inclusive upper bound
+    assert len(got_b) == 51  # all 50 of day 0 + day 1's minute-0 row
 
     # a window entirely before the data prunes every file
     kept0, _ = t.files_in_time_range("1970-01-01 00:00:00", "1970-01-02 00:00:00")

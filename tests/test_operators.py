@@ -35,6 +35,44 @@ def test_deterministic_row_id_stable(spark):
     assert len(set(a.values())) == len(a)
 
 
+def test_production_id_is_xxhash64_not_portable_twin(spark):
+    """The interpreted portable-hash row id exists ONLY as the DuckDB oracle
+    twin (operators/relational.py deterministic_row_id_op); the engine's
+    production id path is xxhash64 and the CDC hot path must never import
+    the twin (it is a CodegenFallback per-character loop, ~100x slower)."""
+    import ast
+    import os
+
+    from mimic_spark.functions.hashing import deterministic_row_id
+
+    # 1. the production id expression compiles to xxhash64
+    df = spark.range(1).select(deterministic_row_id("id").alias("rid"))
+    assert "xxhash64" in df._jdf.queryExecution().analyzed().toString()
+
+    # 2. no CDC-hot-path module imports the portable twin
+    root = os.path.join(os.path.dirname(__file__), "..", "mimic_spark")
+    hot = ["streaming", "lakehouse", "sources", "functions/hashing.py",
+           "functions/normalize.py"]
+    for rel in hot:
+        p = os.path.join(root, rel)
+        files = (
+            [p] if p.endswith(".py")
+            else [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".py")]
+        )
+        for fp in files:
+            tree = ast.parse(open(fp).read())
+            for node in ast.walk(tree):
+                names = []
+                if isinstance(node, ast.Import):
+                    names = [a.name for a in node.names]
+                elif isinstance(node, ast.ImportFrom):
+                    names = [node.module or ""]
+                assert not any("portable_hash" in n for n in names), (
+                    f"{fp} imports portable_hash — the oracle twin must not "
+                    "enter the CDC hot path"
+                )
+
+
 def test_minhash_lsh_subset_of_exact(spark):
     """LSH candidates, after verification, are a subset of the exact
     Jaccard pairs — and recall is high at this threshold."""

@@ -116,6 +116,17 @@ GROUP BY r.role_id, t.role;
     assert len(failed) == 1 and "AuditError" in failed[0]["error"]
     assert failed[0]["run_id"] != row["run_id"]
 
+    # a FAILING metadata write must not mask the step exception (the write
+    # runs in the finally block precisely when a step just died) — the
+    # operator sees the AuditError, not the bogus-dir IO error
+    conf_worse = dict(conf_bad)
+    conf_worse["run_metadata_dir"] = os.path.join(
+        tmp_table_dir, "not_a_dir_file"
+    )
+    open(conf_worse["run_metadata_dir"], "w").write("block the mkdir")
+    with pytest.raises(AuditError):
+        run_workflow(spark, conf_worse)
+
 
 def test_full_workflow_conf_reproduces_flagship(spark, tmp_table_dir):
     """The checked-in conf/full.workflow.json (the reference's full.etlconf
