@@ -6,9 +6,10 @@ queries    — one entry per implemented operator from SURVEY.md §2 / the
 oracle_sql — DuckDB-runnable ANSI SQL twins for every SQL-expressible op.
 
 Registration order is oracled-first (mimic_spark/operators/__init__.py): the
-50 oracled queries occupy positions 1-50 so they all land inside the
-driver's 50-entry correctness window; the 5 rows-only entries (pytest twins,
-see COVERAGE.md) register after.
+same 50 oracled queries as r3 occupy positions 1-50 so they all land inside
+the driver's 50-entry correctness window; `pack_sequences` (oracled, r4)
+registers at position 51, and the 4 rows-only entries (pytest twins, see
+COVERAGE.md) after it.
 """
 
 from __future__ import annotations

@@ -394,13 +394,19 @@ class SnapshotTable:
             out = self._resolve_mor(out, snap.schema)
         return out
 
-    def read_for_keys(self, keys: list[tuple]) -> DataFrame:
-        """Point/key-lookup read: prune to exactly the buckets the given key
-        tuples hash to (serving-read path — O(touched buckets), not O(table)).
+    def files_for_keys(
+        self, keys: list[tuple]
+    ) -> tuple[list[dict[str, Any]], int, DataFrame]:
+        """(files possibly holding any of `keys`, total files in the touched
+        buckets, typed key DataFrame).
 
-        keys: list of tuples in key_cols order.
-        """
+        Two pruning levels: bucket hash first (O(touched buckets)), then the
+        opt-in per-file key bloom (lakehouse/bloom.py) skips files WITHIN a
+        bucket that provably lack every looked-up key — the multi-commit
+        case where a bucket holds many generations of files.  Files without
+        a bloom are conservatively kept."""
         from mimic_spark.functions.hashing import bucket_expr
+        from mimic_spark.lakehouse.bloom import bloom_might_contain
 
         # keys must carry the table's exact key types: xxhash64 hashes int
         # and bigint differently, so an inferred-long lookup key would land
@@ -410,15 +416,43 @@ class SnapshotTable:
         kdf = self.spark.createDataFrame(keys, self.key_cols).select(
             *[F.col(c).cast(types[c]).alias(c) for c in self.key_cols]
         )
-        buckets = [
-            r[0]
-            for r in kdf.select(
-                bucket_expr(self.key_cols, self.n_buckets).alias("b")
+        keys_by_bucket: dict[int, list[tuple]] = {}
+        for r in (
+            kdf.select(
+                bucket_expr(self.key_cols, self.n_buckets).alias("_b"),
+                *self.key_cols,
             )
             .distinct()
             .collect()
+        ):
+            keys_by_bucket.setdefault(int(r["_b"]), []).append(
+                tuple(r[c] for c in self.key_cols)
+            )
+        snap = self.snapshot()
+        in_buckets = [
+            f for f in snap.files if f["bucket"] in keys_by_bucket
         ]
-        df = self.read(buckets=buckets)
+        kept = [
+            f
+            for f in in_buckets
+            if f.get("key_bloom") is None
+            or any(
+                bloom_might_contain(f["key_bloom"], kt)
+                for kt in keys_by_bucket[f["bucket"]]
+            )
+        ]
+        return kept, len(in_buckets), kdf
+
+    def read_for_keys(self, keys: list[tuple]) -> DataFrame:
+        """Point/key-lookup read: prune to the buckets the key tuples hash
+        to, then to the files whose blooms may hold them (serving-read path
+        — O(touched files), not O(table)).
+
+        keys: list of tuples in key_cols order.
+        """
+        kept, _, kdf = self.files_for_keys(keys)
+        snap = self.snapshot()
+        df = self._read_files(snap, kept, resolve=True)
         return df.join(F.broadcast(kdf), self.key_cols, "left_semi")
 
     def _resolve_mor(self, df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -468,6 +502,12 @@ class SnapshotTable:
         if sort_cols:
             staged = staged.sortWithinPartitions(*sort_cols)
         staged.write.partitionBy("_bucket").mode("error").parquet(out_dir)
+        # opt-in per-file key blooms (serving tables; see lakehouse/bloom.py
+        # for why min/max key stats can't prune hash-bucketed files)
+        want_bloom = str(self.props().get("key_bloom", "")).lower() in (
+            "true",
+            "1",
+        )
         entries: list[dict[str, Any]] = []
         for sub in sorted(os.listdir(out_dir)):
             if not sub.startswith("_bucket="):
@@ -481,6 +521,14 @@ class SnapshotTable:
                         "bucket": b,
                     }
                     entry.update(_footer_stats(full))
+                    if want_bloom:
+                        from mimic_spark.lakehouse.bloom import (
+                            harvest_file_bloom,
+                        )
+
+                        bloom = harvest_file_bloom(full, self.key_cols)
+                        if bloom is not None:
+                            entry["key_bloom"] = bloom
                     entries.append(entry)
         return entries
 

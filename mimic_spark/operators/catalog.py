@@ -63,9 +63,14 @@ def register(name: str, family: str, oracle: str | None = None, doc: str = ""):
         import functools
 
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(
+            spark: SparkSession, sf_dir: str, *args, **kwargs
+        ) -> DataFrame:
+            # extra args pass through for ops with pluggable knobs
+            # (e.g. pack_sequences' token_counter); the catalog/driver
+            # always calls with just (spark, sf_dir)
             release_query_caches()
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, *args, **kwargs)
 
         OPS[name] = QueryOp(
             name=name, fn=wrapped, oracle=oracle, family=family, doc=doc

@@ -477,37 +477,27 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    family="training-data: near-dup clustering — connected components over Jaccard pairs (iterative min-label propagation)",
-    oracle=None,  # iterative algorithm (non-SQL-expressible); pytest asserts
-    # pair-consistency and transitivity against dedup_ngram_jaccard
-)
-def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Group near-duplicate documents into clusters and elect a canonical id.
-
-    Connected components by iterative min-label propagation over the exact
-    Jaccard pair set: every doc starts labeled with its own id; each round a
-    doc adopts the minimum label among itself and its neighbors; fixpoint in
-    O(diameter) rounds.  DataFrame-iterative pattern: the loop lives on the
-    driver, each round is pure joins/aggregations, and localCheckpoint cuts
-    the growing lineage (the standard Spark idiom for iterative algorithms;
-    at cluster scale swap in GraphFrames' LPA — same semantics).
-    """
-    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
-    # undirected edge list, both directions
+def min_label_propagation(
+    spark: SparkSession,
+    pairs: DataFrame,
+    vertices: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    O(diameter)-round baseline, kept as the equality twin for the log-round
+    algorithm below (tests/test_operators.py).  `pairs` is (doc_a, doc_b);
+    `vertices` a single-column (doc_id).  Returns (doc_id, cluster_id)."""
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).cache()
-    (d,) = load_tables(spark, sf, "documents")
-    labels = d.select(
+    labels = vertices.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
 
     changed = 0
-    for _ in range(20):  # diameter bound; tiny for near-dup graphs
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -542,13 +532,122 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             break
     edges.unpersist()
     if changed != 0:
-        # the loop exited on the round cap, not at fixpoint: clusters would
-        # be silently split, violating the transitivity contract — fail loud
         raise RuntimeError(
-            "dedup_clusters: min-label propagation did not converge within "
-            "20 rounds (component diameter > 20); raise the bound or use a "
-            "large-scale CC implementation (e.g. GraphFrames LPA)"
+            f"min_label_propagation: no fixpoint within {max_rounds} rounds "
+            f"(component diameter > {max_rounds})"
         )
+    return labels
+
+
+def connected_components(
+    spark: SparkSession,
+    pairs: DataFrame,
+    vertices: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components in O(log n) rounds by alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — the public algorithm GraphFrames'
+    batch CC also implements).
+
+    Per round, with neighbor lists built from both edge directions:
+    - large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u});
+    - small-star(u): attach u and its neighbors v < u to their minimum.
+    Both emit strictly-decreasing attachments, so each component contracts
+    toward its minimum id and stabilizes as a star centered on it — in a
+    logarithmic number of rounds regardless of diameter, which is what a
+    100 TB near-dup graph with long chains needs (min-label propagation is
+    O(diameter) rounds and a 1000-hop chain would mean 1000 shuffles).
+
+    Each round is two groupBy/join stages over the edge set;
+    localCheckpoint cuts lineage.  Convergence is detected by an edge-set
+    signature (count + sum of xxhash64), one tiny aggregate per round.
+    Returns (doc_id, cluster_id) covering every vertex (singletons label
+    themselves)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        r = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return int(r["n"]), int(r["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        return (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).filter(F.col("v") < F.col("u"))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        attach_small = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        attach_self = mins.select(F.col("u"), F.col("m").alias("v"))
+        return attach_small.unionByName(attach_self).distinct()
+
+    sig = _signature(edges)
+    for _ in range(max_rounds):
+        if sig[0] == 0:
+            break  # no edges at all — all vertices are singletons
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components: star contraction did not stabilize in "
+            f"{max_rounds} rounds"
+        )
+
+    # stable edge set is (member -> root) stars; fold in roots + singletons
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    return vertices.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    family="training-data: near-dup clustering — connected components over Jaccard pairs (log-round large-star/small-star contraction)",
+    oracle=None,  # iterative algorithm (non-SQL-expressible); pytest asserts
+    # pair-consistency, transitivity, and equality with min-label propagation
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Group near-duplicate documents into clusters and elect a canonical id.
+
+    Connected components over the exact Jaccard pair set via alternating
+    large-star/small-star contraction (`connected_components` above):
+    O(log n) rounds independent of component diameter, so a 100-TB near-dup
+    graph with one long chain converges where the O(diameter) min-label
+    propagation baseline (kept above as the pytest equality twin) would
+    need a round per hop."""
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    (d,) = load_tables(spark, sf, "documents")
+    labels = connected_components(spark, pairs, d.select("doc_id"))
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -14,17 +14,24 @@ placement is deterministic across retries (no rand()).  The price of
 next-fit vs global first-fit-decreasing is bounded slack per pack boundary —
 the standard trade for a one-pass distributed packer.
 
-Registered rows-only BY CHOICE: the op is SQL-expressible, but the driver's
-correctness window holds exactly the 50 oracled queries (COVERAGE.md);
-correctness is carried by the invariants pytest
-(tests/test_operators.py::test_sequence_packing_invariants): every doc
-assigned exactly once, packs are contiguous runs in shard order, no pack
-exceeds CAP + (its last doc's tokens), determinism across runs.
+Token counting is PLUGGABLE (`token_counter=`): pack caps should reflect the
+trainer's tokenizer, not a fixed convention.  Built-ins stay JVM-side
+(whitespace split; a BPE-ish regex via regexp_count); a caller can pass any
+Column-producing function — including an Arrow-batched `pandas_udf` wrapping
+a real tokenizer — without touching the no-per-row-Python rule (pandas UDFs
+batch through Arrow; the invariants pytest runs one to prove the seam).
+
+The catalog registration uses the whitespace counter and carries a DuckDB
+oracle (cumsum window SQL); it registers AFTER the driver's 50-query window
+on purpose — position 51 keeps the window stable while
+tools/check_correctness.py still value-checks it locally every round.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -33,23 +40,62 @@ from mimic_spark.operators.catalog import load_tables, register
 PACK_CAP_TOKENS = 2048
 N_SHARDS = 8
 
+# GPT-style coarse pieces: letter runs, digit runs, single punctuation marks
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Whitespace token count (the text_quality_scores convention)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish regex token count — JVM-side (regexp_count, codegen'd), a
+    closer proxy for trainer tokens than whitespace words."""
+    return F.regexp_count(text, F.lit(_BPE_ISH))
+
 
 @register(
     "pack_sequences",
-    family="training-data: sequence packing — docs -> fixed token-budget bins (next-fit cumsum per shard)",
-    oracle=None,  # SQL-expressible but kept rows-only: the driver window
-    # holds exactly the 50 oracled entries; pytest twin covers invariants
+    family="training-data: sequence packing — docs -> fixed token-budget bins (next-fit cumsum per shard); registers at position 51, outside the driver's 50-query window by design",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % 8 AS shard,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM toks
 )
-def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       n_tokens,
+       CAST(floor(cum_excl / 2048) AS BIGINT) AS pack_id,
+       CAST(cum_excl % 2048 AS BIGINT) AS offset_in_pack
+FROM c
+""",
+)
+def pack_sequences(
+    spark: SparkSession,
+    sf: str,
+    token_counter: Callable[[Column], Column] | None = None,
+) -> DataFrame:
     """doc_id -> (shard, pack_id, offset_in_pack) under a 2048-token cap.
 
-    Token counts are whitespace tokens (the text_quality_scores convention);
-    shard = doc_id % N_SHARDS keeps the window partition bounded."""
+    token_counter: Column fn over the text column (default: whitespace
+    tokens, matching the oracle; pass `bpe_ish_tokens` or an Arrow-batched
+    tokenizer UDF for trainer-accurate caps).  shard = doc_id % N_SHARDS
+    keeps the window partition bounded."""
+    counter = token_counter or whitespace_tokens
     (d,) = load_tables(spark, sf, "documents")
     toks = d.select(
         "doc_id",
-        (F.col("doc_id") % N_SHARDS).alias("shard"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        (F.col("doc_id") % N_SHARDS).cast("long").alias("shard"),
+        counter(F.col("text")).cast("long").alias("n_tokens"),
     )
     w = W.partitionBy("shard").orderBy("doc_id")
     cum_excl = F.coalesce(

@@ -539,6 +539,94 @@ def test_time_range_read_prunes_files(spark, tmp_table_dir):
     assert len(got2) == 49
 
 
+def test_key_bloom_point_lookup_skips_files(spark, tmp_table_dir):
+    """Opt-in per-file key blooms prune point lookups WITHIN a bucket:
+    with every file in one bucket (the worst case for bucket pruning and
+    the no-op case for key min/max under hash bucketing), a lookup reads
+    only the file(s) whose bloom may hold the key; files written before
+    opting in (no bloom) are conservatively kept; results equal the
+    unpruned read."""
+    from mimic_spark.lakehouse.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    # bloom unit sanity: no false negatives, plausible fp rate
+    added = [(f"k{i}", i) for i in range(500)]
+    bl = build_bloom(added)
+    assert all(bloom_might_contain(bl, kt) for kt in added)
+    fps = sum(
+        1 for i in range(500, 5500) if bloom_might_contain(bl, (f"k{i}", i))
+    )
+    assert fps < 150  # ~1% expected; generous bound for stability
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("_lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "bloomed"),
+        schema,
+        ["conv_id", "turn_idx"],
+        n_buckets=1,  # every file lands in one bucket -> only blooms prune
+    )
+    # one pre-opt-in file (must never be skipped: it has no bloom)
+    t.append(
+        spark.createDataFrame(
+            [(f"pre{i}", 0, "x", i, False) for i in range(50)], schema
+        )
+    )
+    t.commit(
+        base=t.snapshot(),
+        op="set-props",
+        files=t.snapshot().files,
+        props_update={"key_bloom": "true"},
+    )
+    for gen in range(4):  # four post-opt-in files, disjoint key ranges
+        t.append(
+            spark.createDataFrame(
+                [
+                    (f"g{gen}_{i}", 0, f"text{gen}", 1000 + gen * 100 + i, False)
+                    for i in range(50)
+                ],
+                schema,
+            )
+        )
+    snap = t.snapshot()
+    assert sum(1 for f in snap.files if f.get("key_bloom")) == 4
+    assert sum(1 for f in snap.files if not f.get("key_bloom")) == 1
+
+    kept, total, _ = t.files_for_keys([("g2_7", 0)])
+    assert total == 5
+    # the bloom-less file + the g2 file are kept; g0/g1/g3 files skipped
+    # (allow one fp slot so a 1%-probability collision can't flake the test)
+    assert 2 <= len(kept) <= 3
+    paths = {f["path"] for f in kept}
+    g2_file = [
+        f for f in snap.files if f.get("key_bloom") and "g2" in str(
+            spark.read.parquet(
+                os.path.join(t.path, f["path"])
+            ).first()["conv_id"]
+        )
+    ]
+    assert g2_file and g2_file[0]["path"] in paths
+
+    got = t.read_for_keys([("g2_7", 0)]).collect()
+    assert len(got) == 1 and got[0]["text"] == "text2"
+
+    # multi-key lookup across generations keeps each generation's file
+    kept2, _, _ = t.files_for_keys([("g0_1", 0), ("g3_9", 0), ("pre3", 0)])
+    assert len(kept2) >= 3
+    rows = t.read_for_keys([("g0_1", 0), ("g3_9", 0), ("pre3", 0)]).collect()
+    assert {r["conv_id"] for r in rows} == {"g0_1", "g3_9", "pre3"}
+
+
 def test_read_changes_all_versions_and_merge_rename_translation(spark, tmp_table_dir):
     """all_versions=True returns every surviving row version past the
     watermark on an uncompacted MoR table (net-change default collapses to

@@ -266,6 +266,58 @@ def test_dedup_clusters_consistent(spark):
             assert lab == doc  # singleton is its own canonical
 
 
+def test_star_contraction_equals_label_propagation(spark):
+    """The log-round large-star/small-star CC must produce exactly the same
+    components as the O(diameter) min-label propagation baseline on random
+    graphs — and must converge on a >20-diameter chain where the baseline's
+    20-round cap fails loud (the 100-TB soft spot the contraction removes)."""
+    import random
+
+    import pytest
+
+    from mimic_spark.operators.dedup import (
+        connected_components,
+        min_label_propagation,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        verts = [f"d{trial}_{i:03d}" for i in range(n)]
+        edges = [
+            tuple(sorted(rng.sample(verts, 2)))
+            for _ in range(rng.randint(20, 80))
+        ]
+        pairs = spark.createDataFrame(
+            list(set(edges)), "doc_a string, doc_b string"
+        )
+        vdf = spark.createDataFrame([(v,) for v in verts], "doc_id string")
+        star = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(spark, pairs, vdf).collect()
+        }
+        lpa = {
+            r["doc_id"]: r["cluster_id"]
+            for r in min_label_propagation(spark, pairs, vdf).collect()
+        }
+        assert star == lpa, f"trial {trial}: star != LPA"
+
+    # 40-hop chain: diameter 40 > the LPA cap of 20 rounds
+    chain_verts = [f"c{i:03d}" for i in range(41)]
+    chain_pairs = spark.createDataFrame(
+        [(f"c{i:03d}", f"c{i+1:03d}") for i in range(40)],
+        "doc_a string, doc_b string",
+    )
+    cvdf = spark.createDataFrame([(v,) for v in chain_verts], "doc_id string")
+    with pytest.raises(RuntimeError, match="diameter"):
+        min_label_propagation(spark, chain_pairs, cvdf)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(spark, chain_pairs, cvdf).collect()
+    }
+    assert got == {v: "c000" for v in chain_verts}
+
+
 def test_era_running_max_equals_lag_on_fixed_width(spark):
     """On fixed-width intervals (end order == start order) the running-max
     merge (era_variable_intervals' primitive) must reproduce the lag-based
@@ -401,42 +453,85 @@ def test_query_caches_released_between_catalog_calls(spark):
 def test_sequence_packing_invariants(spark):
     """Next-fit packing: every doc assigned once; packs are contiguous runs
     in shard order; a pack never exceeds CAP + its last doc's tokens (the
-    next-fit overflow bound); deterministic across runs."""
-    from mimic_spark.operators.packing import PACK_CAP_TOKENS
+    next-fit overflow bound); deterministic across runs.  The invariants
+    hold under EVERY token counter: the whitespace default, the JVM BPE-ish
+    regex, and an Arrow-batched pandas-UDF tokenizer (the pluggable seam a
+    trainer's real tokenizer would use)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    fn = OPS["pack_sequences"].fn
-    rows = sorted(
-        (r["shard"], r["doc_id"], r["n_tokens"], r["pack_id"], r["offset_in_pack"])
-        for r in fn(spark, SF).collect()
+    from mimic_spark.operators.packing import (
+        PACK_CAP_TOKENS,
+        bpe_ish_tokens,
+        pack_sequences,
+        whitespace_tokens,
     )
+
+    # deterministic tokenizer stand-in: ~chars/4, floor 1 (the shape a real
+    # BPE produces), vectorized over the Arrow batch.  (lambda form: the
+    # module-level `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf can't resolve for decorated functions)
+    fake_bpe_udf = pandas_udf(
+        lambda texts: (texts.str.len() // 4).clip(lower=1).astype("int32"),
+        "int",
+    )
+
     docs = spark.read.parquet(f"{SF}/documents.parquet").count()
-    assert len(rows) == docs
-    assert len({r[1] for r in rows}) == docs  # every doc exactly once
+    results = {}
+    for cname, counter in [
+        ("whitespace", whitespace_tokens),
+        ("bpe_ish", bpe_ish_tokens),
+        ("pandas_udf", fake_bpe_udf),
+    ]:
+        rows = sorted(
+            (r["shard"], r["doc_id"], r["n_tokens"], r["pack_id"], r["offset_in_pack"])
+            for r in pack_sequences(spark, SF, token_counter=counter).collect()
+        )
+        results[cname] = rows
+        assert len(rows) == docs, cname
+        assert len({r[1] for r in rows}) == docs, cname  # each doc once
 
-    by_shard = {}
-    for shard, doc_id, n_tokens, pack_id, off in rows:
-        by_shard.setdefault(shard, []).append((doc_id, n_tokens, pack_id, off))
-    for shard, items in by_shard.items():
-        items.sort()
-        cum = 0
-        prev_pack = 0
-        pack_tokens = {}
-        for doc_id, n_tokens, pack_id, off in items:
-            assert pack_id >= prev_pack  # contiguous, never decreasing
-            assert off == cum % PACK_CAP_TOKENS
-            assert pack_id == cum // PACK_CAP_TOKENS
-            pack_tokens[pack_id] = pack_tokens.get(pack_id, 0) + n_tokens
-            cum += n_tokens
-            prev_pack = pack_id
-        # next-fit bound: pack total < CAP + max single doc in that pack
-        for pid, total in pack_tokens.items():
-            last_doc_tokens = max(
-                t for d, t, p, o in items if p == pid
+        by_shard = {}
+        for shard, doc_id, n_tokens, pack_id, off in rows:
+            assert n_tokens >= 1, (cname, doc_id)
+            by_shard.setdefault(shard, []).append(
+                (doc_id, n_tokens, pack_id, off)
             )
-            assert total <= PACK_CAP_TOKENS + last_doc_tokens
+        for shard, items in by_shard.items():
+            items.sort()
+            cum = 0
+            prev_pack = 0
+            pack_tokens = {}
+            for doc_id, n_tokens, pack_id, off in items:
+                assert pack_id >= prev_pack  # contiguous, never decreasing
+                assert off == cum % PACK_CAP_TOKENS
+                assert pack_id == cum // PACK_CAP_TOKENS
+                pack_tokens[pack_id] = pack_tokens.get(pack_id, 0) + n_tokens
+                cum += n_tokens
+                prev_pack = pack_id
+            # next-fit bound: pack total < CAP + max single doc in the pack
+            for pid, total in pack_tokens.items():
+                last_doc_tokens = max(t for d, t, p, o in items if p == pid)
+                assert total <= PACK_CAP_TOKENS + last_doc_tokens, cname
 
+    # different counters genuinely count differently (the seam is live).
+    # (The synthetic corpus is pure space-separated words, so the BPE-ish
+    # regex agrees with whitespace there — prove it differs on punctuated
+    # text directly instead.)
+    assert results["whitespace"] != results["pandas_udf"]
+    from pyspark.sql import functions as F
+
+    punct = spark.createDataFrame([("Hello, world! x2",)], "text string")
+    r = punct.select(
+        whitespace_tokens(F.col("text")).alias("ws"),
+        bpe_ish_tokens(F.col("text")).alias("bpe"),
+    ).first()
+    assert r["ws"] == 3
+    assert r["bpe"] == 6  # Hello , world ! x 2 -> letter/digit/punct pieces
+
+    # catalog entry (position 51, oracled) is the whitespace form
     again = sorted(
         (r["shard"], r["doc_id"], r["n_tokens"], r["pack_id"], r["offset_in_pack"])
-        for r in fn(spark, SF).collect()
+        for r in OPS["pack_sequences"].fn(spark, SF).collect()
     )
-    assert rows == again
+    assert results["whitespace"] == again  # and deterministic across runs

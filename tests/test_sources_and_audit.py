@@ -229,6 +229,77 @@ def test_export_published_roundtrip(spark, tmp_table_dir):
     assert got2 == want
 
 
+def test_load_table_manifest_roundtrip(spark, tmp_table_dir):
+    """S13 import half: load_table consumes export_table's own sidecar +
+    data and reproduces the DataFrame — values AND types — for both
+    formats; contract violations (missing sidecar, header drift, NULL in a
+    REQUIRED column) fail loud (reference load_to_bq + cdm_schemas role)."""
+    import json as _json
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mimic_spark.sinks import (
+        DeliveryContractError,
+        export_table,
+        load_table,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, "alice", 3.5, True, None),
+            (2, "bob", None, False, "2025-01-02 10:00:00"),
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),  # -> REQUIRED
+                T.StructField("name", T.StringType(), True),
+                T.StructField("score", T.DoubleType(), True),
+                T.StructField("ok", T.BooleanType(), True),
+                T.StructField("seen", T.StringType(), True),
+            ]
+        ),
+    ).withColumn("seen", F.col("seen").cast("timestamp"))
+    out = os.path.join(tmp_table_dir, "delivery2")
+    want = sorted(tuple(r) for r in src.collect())
+
+    for fmt in ("csv", "parquet"):
+        rep = export_table(src, out, f"t_{fmt}", format=fmt)
+        back = load_table(spark, out, f"t_{fmt}")  # format auto-detected
+        # (Spark file sources always surface nullable=True; the REQUIRED
+        # contract is enforced by load_table's non-null scan instead)
+        assert [f.dataType for f in back.schema.fields] == [
+            f.dataType for f in src.schema.fields
+        ]
+        assert sorted(tuple(r) for r in back.collect()) == want
+
+    # no sidecar -> never infer
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        load_table(spark, out, "nope")
+
+    # NULL in a REQUIRED column (or a cell failing its manifest type) fails
+    sidecar = os.path.join(out, "t_csv.schema.json")
+    manifest = _json.load(open(sidecar))
+    assert {"name": "id", "type": "INTEGER", "mode": "REQUIRED"} in manifest
+    for c in manifest:
+        if c["name"] == "name":
+            c["mode"] = "REQUIRED"
+            c["type"] = "INTEGER"  # 'alice'/'bob' now fail the typed parse
+    _json.dump(manifest, open(sidecar, "w"))
+    with pytest.raises(DeliveryContractError, match="REQUIRED"):
+        load_table(spark, out, "t_csv").collect()
+
+    # header drift: manifest renames a column the files don't carry
+    manifest2 = _json.load(open(os.path.join(out, "t_parquet.schema.json")))
+    manifest2[1]["name"] = "renamed_away"
+    _json.dump(
+        manifest2, open(os.path.join(out, "t_parquet.schema.json"), "w")
+    )
+    with pytest.raises(DeliveryContractError, match="absent"):
+        load_table(spark, out, "t_parquet")
+
+
 def test_pyfiles_zip_builds_and_imports(tmp_table_dir):
     """tools/make_pyfiles_zip.py produces a spark-submit --py-files archive
     the package imports from (the cluster submission path)."""
