@@ -6,10 +6,11 @@ queries    — one entry per implemented operator from SURVEY.md §2 / the
 oracle_sql — DuckDB-runnable ANSI SQL twins for every SQL-expressible op.
 
 Registration order is oracled-first (mimic_spark/operators/__init__.py): the
-same 50 oracled queries as r3 occupy positions 1-50 so they all land inside
-the driver's 50-entry correctness window; `pack_sequences` (oracled, r4)
-registers at position 51, and the 4 rows-only entries (pytest twins, see
-COVERAGE.md) after it.
+same 50 oracled queries as r3 occupy positions 1-50 (membership FROZEN in
+operators/__init__.py:_WINDOW_50) so they all land inside the driver's
+50-entry correctness window; the r4 oracled additions
+(text_repetition_score, pack_sequences) register right after, and the 4
+rows-only entries (pytest twins, see COVERAGE.md) last.
 """
 
 from __future__ import annotations

@@ -501,13 +501,25 @@ class SnapshotTable:
         ).repartition(nb, "_bucket")
         if sort_cols:
             staged = staged.sortWithinPartitions(*sort_cols)
-        staged.write.partitionBy("_bucket").mode("error").parquet(out_dir)
         # opt-in per-file key blooms (serving tables; see lakehouse/bloom.py
         # for why min/max key stats can't prune hash-bucketed files)
         want_bloom = str(self.props().get("key_bloom", "")).lower() in (
             "true",
             "1",
         )
+        writer = staged.write.partitionBy("_bucket").mode("error")
+        if want_bloom:
+            # ALSO write a native parquet bloom on the leading key column
+            # (Iceberg's write.parquet.bloom-filter-enabled.column.<c> role)
+            # so JVM scans with pushed key equality prune row groups too.
+            # The ndv hint is mandatory: parquet-mr's default sizes the
+            # bloom for ~1M ndv (≈1 MiB per file — measured).
+            lead = self.key_cols[0]
+            ndv = int(self.props().get("key_bloom_ndv", 100_000))
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{lead}", "true"
+            ).option(f"parquet.bloom.filter.expected.ndv#{lead}", str(ndv))
+        writer.parquet(out_dir)
         entries: list[dict[str, Any]] = []
         for sub in sorted(os.listdir(out_dir)):
             if not sub.startswith("_bucket="):

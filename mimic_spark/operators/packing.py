@@ -22,8 +22,8 @@ a real tokenizer — without touching the no-per-row-Python rule (pandas UDFs
 batch through Arrow; the invariants pytest runs one to prove the seam).
 
 The catalog registration uses the whitespace counter and carries a DuckDB
-oracle (cumsum window SQL); it registers AFTER the driver's 50-query window
-on purpose — position 51 keeps the window stable while
+oracle (cumsum window SQL); it registers AFTER the driver's frozen 50-query window
+on purpose (operators/__init__.py pins the window membership), and
 tools/check_correctness.py still value-checks it locally every round.
 """
 
@@ -57,7 +57,7 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 @register(
     "pack_sequences",
-    family="training-data: sequence packing — docs -> fixed token-budget bins (next-fit cumsum per shard); registers at position 51, outside the driver's 50-query window by design",
+    family="training-data: sequence packing — docs -> fixed token-budget bins (next-fit cumsum per shard); registers outside the driver's frozen 50-query window by design",
     oracle="""
 WITH toks AS (
   SELECT doc_id,

@@ -353,3 +353,67 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(gate < rate)
     )
+
+
+@register(
+    "text_repetition_score",
+    family="training-data: repetition/boilerplate scoring — distinct-trigram ratio per doc (registers after the frozen 50-query window; value-checked by tools/check_correctness.py)",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(ws) - 2, 0)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         ) AS tris
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(tris) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct_trigrams,
+       CASE WHEN len(tris) > 0
+            THEN 1.0 - len(list_distinct(tris)) * 1.0 / len(tris)
+            ELSE NULL END AS rep_ratio
+FROM t
+""",
+)
+def text_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition / boilerplate score: 1 - distinct_trigrams/total_trigrams
+    per document (high ratio = TV-static boilerplate, SEO spam, template
+    text — a standard pretraining quality gate alongside
+    text_quality_scores' length/stopword features).
+
+    Computed ARRAY-LOCALLY (transform over a word-index sequence, then
+    array_distinct): zero shuffles — the scale-optimal shape for a per-doc
+    score.  The alternative explode→groupBy(doc_id) plan triples the data
+    and shuffles the whole corpus by doc_id; the higher-order functions here
+    are CodegenFallback (interpreted, still JVM) but that trade wins at
+    100 TB because it removes the corpus-wide exchange entirely."""
+    (d,) = load_tables(spark, sf, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(ws)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tris = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    staged = d.select("doc_id", tris.alias("tris"))
+    n_tris = F.size("tris")
+    n_dist = F.size(F.array_distinct("tris"))
+    return staged.select(
+        "doc_id",
+        n_tris.cast("long").alias("n_trigrams"),
+        n_dist.cast("long").alias("n_distinct_trigrams"),
+        F.when(
+            n_tris > 0, F.lit(1.0) - n_dist * F.lit(1.0) / n_tris
+        ).alias("rep_ratio"),
+    )

@@ -626,6 +626,40 @@ def test_key_bloom_point_lookup_skips_files(spark, tmp_table_dir):
     rows = t.read_for_keys([("g0_1", 0), ("g3_9", 0), ("pre3", 0)]).collect()
     assert {r["conv_id"] for r in rows} == {"g0_1", "g3_9", "pre3"}
 
+    # MoR interaction: an update lands in a delta file (bloom'd too); the
+    # lookup must keep BOTH generations of the key's files and resolve to
+    # the newest version, while still pruning unrelated files
+    upd = spark.createDataFrame(
+        [("g2_7", 0, "user", "text2-updated", None, None, 99999, "update")],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string",
+    ).selectExpr("conv_id", "turn_idx", "text", "lsn as _lsn", "op = 'delete' as _deleted")
+    t.append(upd.withColumn("_lsn", F.col("_lsn").cast("long")))
+    # mark the freshly appended file as a MoR delta so resolution runs
+    snap2 = t.snapshot()
+    files2 = [dict(f) for f in snap2.files]
+    files2[-1]["delta"] = True
+    t.commit(base=snap2, op="mark-delta", files=files2)
+    kept3, total3, _ = t.files_for_keys([("g2_7", 0)])
+    assert total3 == 6 and len(kept3) < total3  # still prunes others
+    got3 = [
+        r
+        for r in t.read_for_keys([("g2_7", 0)]).collect()
+        if not r["_deleted"]
+    ]
+    assert len(got3) == 1 and got3[0]["text"] == "text2-updated"
+
+    # opting in also writes a NATIVE parquet bloom on the leading key column
+    # (the Iceberg write.parquet.bloom-filter-enabled role, for JVM scans);
+    # pyarrow can't expose bloom offsets, so compare identical-content files
+    # written with the prop on vs off — the delta is the serialized bloom
+    pre_file = [f for f in snap.files if not f.get("key_bloom")][0]
+    post_file = [f for f in snap.files if f.get("key_bloom")][0]
+    sz_off = os.path.getsize(os.path.join(t.path, pre_file["path"]))
+    sz_on = os.path.getsize(os.path.join(t.path, post_file["path"]))
+    # both generations hold 50 similar rows; the bloom adds >= ~1 KiB
+    assert sz_on > sz_off + 1000, (sz_on, sz_off)
+
 
 def test_read_changes_all_versions_and_merge_rename_translation(spark, tmp_table_dir):
     """all_versions=True returns every surviving row version past the
