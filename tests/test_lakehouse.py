@@ -649,6 +649,18 @@ def test_key_bloom_point_lookup_skips_files(spark, tmp_table_dir):
     ]
     assert len(got3) == 1 and got3[0]["text"] == "text2-updated"
 
+    # compaction flows through write_data_files, so the read-optimized
+    # files a serving table actually scans keep their blooms (the natural
+    # path for a write-hot table: opt in, let compaction index it)
+    from mimic_spark.lakehouse.maintenance import compact
+
+    compact(t)
+    csnap = t.snapshot()
+    assert all(not f.get("delta") for f in csnap.files)
+    assert all(f.get("key_bloom") for f in csnap.files)
+    got4 = t.read_for_keys([("g2_7", 0)]).collect()
+    assert len(got4) == 1 and got4[0]["text"] == "text2-updated"
+
     # opting in also writes a NATIVE parquet bloom on the leading key column
     # (the Iceberg write.parquet.bloom-filter-enabled role, for JVM scans);
     # pyarrow can't expose bloom offsets, so compare identical-content files

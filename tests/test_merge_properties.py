@@ -207,3 +207,63 @@ def test_diff_apply_roundtrip_property(spark, data):
         assert pub(copy) == pub(t, v_end)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- pure-Python property tests for round-4 primitives (no Spark) ----
+
+from hypothesis import given, settings as _settings
+from hypothesis import strategies as _st
+
+_key_tuple = _st.tuples(
+    _st.text(min_size=0, max_size=20),
+    _st.integers(min_value=-(2**31), max_value=2**31 - 1),
+)
+
+
+@given(
+    added=_st.lists(_key_tuple, min_size=0, max_size=300, unique=True),
+    probes=_st.lists(_key_tuple, min_size=0, max_size=50),
+)
+@_settings(max_examples=100, deadline=None)
+def test_bloom_never_false_negative(added, probes):
+    """A bloom filter may say 'maybe' for absent keys but must NEVER say
+    'absent' for a key that was added — a false negative would silently
+    drop rows from a point lookup."""
+    from mimic_spark.lakehouse.bloom import bloom_might_contain, build_bloom
+
+    bl = build_bloom(added)
+    for kt in added:
+        assert bloom_might_contain(bl, kt)
+    # round-trip through the manifest JSON representation
+    import json as _j
+
+    bl2 = _j.loads(_j.dumps(bl))
+    for kt in added:
+        assert bloom_might_contain(bl2, kt)
+
+
+@given(
+    ts=_st.datetimes(
+        min_value=__import__("datetime").datetime(1970, 1, 2),
+        max_value=__import__("datetime").datetime(2200, 1, 1),
+    ),
+    offset_min=_st.integers(min_value=-14 * 60, max_value=14 * 60),
+)
+@_settings(max_examples=200, deadline=None)
+def test_norm_ts_str_instant_equivalence(ts, offset_min):
+    """_norm_ts_str maps every representation of the same instant — naive
+    UTC datetime, tz-aware datetime in any offset, or their ISO strings —
+    to one canonical naive-UTC string, and is idempotent (manifests written
+    before the r4 fix stored '+00:00' suffixes that must normalize to the
+    same value)."""
+    import datetime as dt
+
+    from mimic_spark.lakehouse.table import _norm_ts_str
+
+    tz = dt.timezone(dt.timedelta(minutes=offset_min))
+    aware = ts.replace(tzinfo=dt.timezone.utc).astimezone(tz)
+    want = _norm_ts_str(ts)  # naive == UTC by convention
+    assert _norm_ts_str(aware) == want
+    assert _norm_ts_str(ts.isoformat(sep=" ")) == want
+    assert _norm_ts_str(aware.isoformat(sep=" ")) == want
+    assert _norm_ts_str(want) == want  # idempotent
