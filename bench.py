@@ -238,7 +238,10 @@ def main() -> int:
         "cdc": {
             "cow_events_per_sec": cdc_info["cow"]["events_per_sec"],
             "mor_events_per_sec": cdc_info["mor"]["events_per_sec"],
-            "median_of": n_cdc_samples,
+            # actual successful samples (may be < requested after a flake)
+            "median_of": min(
+                cdc_info[m].get("median_of", 0) for m in ("cow", "mor")
+            ),
             "n_events": CDC_BENCH_EVENTS,
         },
         "scaling": (

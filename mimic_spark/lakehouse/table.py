@@ -395,7 +395,7 @@ class SnapshotTable:
         return out
 
     def files_for_keys(
-        self, keys: list[tuple]
+        self, keys: list[tuple], version: int | None = None
     ) -> tuple[list[dict[str, Any]], int, DataFrame]:
         """(files possibly holding any of `keys`, total files in the touched
         buckets, typed key DataFrame).
@@ -419,7 +419,11 @@ class SnapshotTable:
         keys_by_bucket: dict[int, list[tuple]] = {}
         for r in (
             kdf.select(
-                bucket_expr(self.key_cols, self.n_buckets).alias("_b"),
+                # bucket under the PINNED version's count: a time-travel
+                # lookup across a rebucket must hash like that snapshot did
+                bucket_expr(
+                    self.key_cols, self.n_buckets_at(version)
+                ).alias("_b"),
                 *self.key_cols,
             )
             .distinct()
@@ -428,7 +432,7 @@ class SnapshotTable:
             keys_by_bucket.setdefault(int(r["_b"]), []).append(
                 tuple(r[c] for c in self.key_cols)
             )
-        snap = self.snapshot()
+        snap = self.snapshot(version)
         in_buckets = [
             f for f in snap.files if f["bucket"] in keys_by_bucket
         ]
@@ -450,9 +454,12 @@ class SnapshotTable:
 
         keys: list of tuples in key_cols order.
         """
-        kept, _, kdf = self.files_for_keys(keys)
-        snap = self.snapshot()
-        df = self._read_files(snap, kept, resolve=True)
+        # pin ONE snapshot version for both the file pruning and the read —
+        # a commit racing between two snapshot() calls must not mix file
+        # lists across versions
+        v = self.latest_version()
+        kept, _, kdf = self.files_for_keys(keys, version=v)
+        df = self._read_files(self.snapshot(v), kept, resolve=True)
         return df.join(F.broadcast(kdf), self.key_cols, "left_semi")
 
     def _resolve_mor(self, df: DataFrame, schema: T.StructType) -> DataFrame:
