@@ -136,13 +136,19 @@ def compact(
     table: SnapshotTable,
     gc_tombstones_below: int | None = None,
     sort_within_buckets: bool = True,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite the table to one file per bucket; optionally drop tombstones
     whose _lsn <= gc_tombstones_below (safe once the low-watermark passed).
 
-    sort_within_buckets: cluster rows by key inside each bucket file so
-    parquet row-group min/max stats prune point lookups (the Iceberg
-    sort-order role)."""
+    sort_within_buckets: cluster rows inside each bucket file so parquet
+    row-group min/max stats prune scans (the Iceberg sort-order role).
+    sort_cols picks the clustering (default: the key columns, serving
+    point lookups).  An event table that is mostly read by time window
+    should compact with ``sort_cols=["ts"]``: after compaction each bucket
+    is ONE file (file-level ts pruning can't help), but ts-clustered row
+    groups let the pushed ts filter of `read_time_range` skip row groups
+    inside that file — the same stats, one level down."""
     base = table.snapshot()
     df = table.read(version=base.version)
     dropped = 0
@@ -159,7 +165,9 @@ def compact(
     new_files = table.write_data_files(
         df,
         base.version + 1,
-        sort_cols=table.key_cols if sort_within_buckets else None,
+        sort_cols=(
+            (sort_cols or table.key_cols) if sort_within_buckets else None
+        ),
     )
     for fe in new_files:
         fe["schema_id"] = base.schema_id

@@ -92,6 +92,52 @@ def test_changefeed_chains_tables(spark, tmp_table_dir):
         )
 
 
+def test_changefeed_three_table_chain(spark, tmp_table_dir):
+    """The lake fan-out shape: source CDC table -> mid -> leaf, each hop a
+    ChangeFeedConsumer reading ONLY its upstream's change feed.  Both
+    derived tables converge to the source's published state, including a
+    delete propagated two hops, and each hop's cursor tracks its own
+    upstream independently."""
+    spec = ChangelogSpec(n_events=1500, n_convs=40, n_chunks=3)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "cl3")
+    )
+    src = TranscriptCdc(spark, os.path.join(tmp_table_dir, "src"), n_buckets=2)
+    mid = TranscriptCdc(spark, os.path.join(tmp_table_dir, "mid"), n_buckets=2)
+    leaf = TranscriptCdc(spark, os.path.join(tmp_table_dir, "leaf"), n_buckets=2)
+    feed1 = ChangeFeedConsumer(spark, src.table_path, mid)
+    feed2 = ChangeFeedConsumer(spark, mid.table_path, leaf)
+
+    for i in range(len(chunks)):
+        run_batched(spark, src, chunks[: i + 1])
+        feed1.run_until_idle()
+        feed2.run_until_idle()
+        assert _published_state(mid) == _published_state(src)
+        assert _published_state(leaf) == _published_state(src)
+        assert feed1.cursor() == src.table.latest_version()
+        assert feed2.cursor() == mid.table.latest_version()
+
+    # delete at the source propagates through both hops
+    victim = src.read_published().limit(1).collect()[0]
+    wm = src.high_watermark()
+    src.apply_batch(
+        spark.createDataFrame(
+            [(victim["conv_id"], victim["turn_idx"], "user", "", None, None,
+              wm + 1, "delete")],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp, lsn long, op string",
+        ),
+        len(chunks),
+    )
+    feed1.run_until_idle()
+    feed2.run_until_idle()
+    assert _published_state(leaf) == _published_state(src)
+    leaf_keys = {
+        (r["conv_id"], r["turn_idx"]) for r in leaf.read_published().collect()
+    }
+    assert (victim["conv_id"], victim["turn_idx"]) not in leaf_keys
+
+
 def test_changefeed_crash_between_merge_and_ledger(spark, tmp_table_dir):
     """A crash after the merge commit but before the ledger append leaves
     the ledger high-watermark one behind the table's committed
