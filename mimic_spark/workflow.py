@@ -20,6 +20,10 @@ with Spark as the engine:
 - step `type: "cdc"`   — the transcript CDC apply (batch or stream mode).
 - step `type: "audit"` — the audit gate; failure aborts the workflow
   (reference's forced-cast-error abort, post_etl_audit.sql:456-499).
+- step `type: "changefeed"` — chain a downstream CDC table off an upstream
+  table's change feed (the staged->derived hop, conf-driven).
+- step `type: "maintenance"` — compact / expire_snapshots / remove_orphans
+  on a table (the reference's cleanup/VACUUM scripts, conf-driven).
 """
 
 from __future__ import annotations
@@ -304,6 +308,73 @@ class Workflow:
         if step.get("register"):
             cdc.read_published().createOrReplaceTempView(step["register"])
         return {"watermark": cdc.high_watermark(), "version": cdc.table.latest_version()}
+
+    def _run_changefeed(self, step: dict) -> dict:
+        """Chain a downstream CDC table off an upstream table's change feed
+        (the derived-table hop of the lake: staged -> curated -> serving).
+
+        keys: upstream (table path), table (downstream path), n_buckets,
+        merge_mode; registers the downstream published view if asked."""
+        from mimic_spark.streaming.apply import TranscriptCdc
+        from mimic_spark.streaming.changefeed import ChangeFeedConsumer
+
+        down = TranscriptCdc(
+            self.spark,
+            self._sub(step["table"]),
+            n_buckets=int(step.get("n_buckets", 32)),
+            mode=step.get("merge_mode", "cow"),
+        )
+        feed = ChangeFeedConsumer(
+            self.spark, self._sub(step["upstream"]), down
+        )
+        applied = feed.run_until_idle(
+            max_polls=int(step.get("max_polls", 1000))
+        )
+        self._last_cdc = down
+        if step.get("register"):
+            down.read_published().createOrReplaceTempView(step["register"])
+        return {
+            "rows_applied": int(applied),
+            "cursor": feed.cursor(),
+            "version": down.table.latest_version(),
+        }
+
+    def _run_maintenance(self, step: dict) -> dict:
+        """Table maintenance (the reference's cleanup/VACUUM scripts,
+        conf-driven): any of compact / expire_snapshots / remove_orphans,
+        in that order, each opt-in via its key."""
+        from mimic_spark.lakehouse.maintenance import (
+            compact,
+            expire_snapshots,
+            remove_orphan_files,
+        )
+        from mimic_spark.lakehouse.table import SnapshotTable
+
+        path = self._sub(step["table"])
+        if not SnapshotTable.exists(path):
+            raise FileNotFoundError(
+                f"maintenance: no snapshot table at {path!r}"
+            )
+        t = SnapshotTable(self.spark, path)
+        out: dict[str, Any] = {}
+        if step.get("compact"):
+            c = step["compact"] if isinstance(step["compact"], dict) else {}
+            out["compact"] = compact(
+                t,
+                gc_tombstones_below=c.get("gc_tombstones_below"),
+                sort_cols=c.get("sort_cols"),
+            )
+        if step.get("expire_snapshots"):
+            e = step["expire_snapshots"]
+            out["expire_snapshots"] = expire_snapshots(
+                t, keep_last=int(e.get("keep_last", 5))
+            )
+        if step.get("remove_orphans"):
+            o = step["remove_orphans"]
+            out["remove_orphans"] = remove_orphan_files(
+                t, older_than_s=float(o.get("older_than_s", 3 * 24 * 3600))
+            )
+        return out
 
     def _run_quality(self, step: dict) -> list:
         from mimic_spark.quality import run_quality_suite

@@ -244,3 +244,51 @@ def test_metrics_workflow_conf(spark, tmp_table_dir):
     top = spark.table("me_top_conversations").collect()
     assert len(top) <= 100 and top[0]["n_turns"] >= top[-1]["n_turns"]
     assert spark.table("me_tool_usage").count() >= 1
+
+
+def test_derived_tables_workflow_conf(spark, tmp_table_dir):
+    """conf/derived_tables.workflow.json: the staged->derived fan-out as
+    config — source CDC apply, change-feed chained derived table,
+    conf-driven maintenance (ts-clustered compaction, retention, orphan
+    GC), SQL parity view, audit gate.  The derived table must equal the
+    source's published state and end compacted."""
+    import json
+
+    from mimic_spark.lakehouse.table import SnapshotTable
+    from mimic_spark.streaming.apply import TranscriptCdc
+
+    write_changelog_chunks(
+        spark,
+        ChangelogSpec(n_events=1500, n_convs=40, n_chunks=2),
+        os.path.join(tmp_table_dir, "changelog"),
+    )
+    with open("/root/repo/conf/derived_tables.workflow.json") as f:
+        conf = json.load(f)
+    conf["variables"]["root"] = tmp_table_dir
+    conf["variables"]["changelog"] = os.path.join(tmp_table_dir, "changelog")
+    results = run_workflow(spark, conf)
+    by_name = {r["name"]: r["result"] for r in results}
+
+    assert by_name["chain_derived"]["rows_applied"] > 0
+    src = TranscriptCdc(spark, os.path.join(tmp_table_dir, "source"), n_buckets=4)
+    der = TranscriptCdc(spark, os.path.join(tmp_table_dir, "derived"), n_buckets=4)
+    s = sorted(tuple(r) for r in src.read_published().collect())
+    d = sorted(tuple(r) for r in der.read_published().collect())
+    assert s == d and len(s) > 0
+
+    m = by_name["maintain_derived"]
+    assert m["compact"]["files_after"] <= m["compact"]["files_before"]
+    assert "expire_snapshots" in m and "remove_orphans" in m
+    t = SnapshotTable(spark, os.path.join(tmp_table_dir, "derived"))
+    assert all(not f.get("delta") for f in t.snapshot().files)  # compacted
+
+    parity = spark.table("parity").collect()[0]
+    assert parity["src_rows"] == parity["derived_rows"] == len(s)
+
+    # exactly one run-metadata row for the run
+    from mimic_spark.workflow import read_run_metadata
+
+    md = read_run_metadata(
+        spark, os.path.join(tmp_table_dir, "run_metadata")
+    ).collect()
+    assert len(md) == 1 and md[0]["status"] == "ok"
