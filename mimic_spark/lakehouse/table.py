@@ -694,6 +694,10 @@ class SnapshotTable:
         carries un-compacted delta files this falls back to resolve-first
         (full scan) + filter.  After compaction — the read-optimized state —
         the file-skipping path applies."""
+        # pin one version for both pruning and read (a commit racing between
+        # two snapshot() resolutions must not mix file lists across versions)
+        if version is None:
+            version = self.latest_version()
         snap = self.snapshot(version)
         if any(f.get("delta") for f in snap.files):
             df = self._read_files(snap, snap.files, resolve=True)

@@ -572,9 +572,13 @@ def connected_components(
     )
 
     def _signature(e: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-independent like sum, but can NEVER
+        # overflow — summing random 64-bit hashes raises
+        # ARITHMETIC_OVERFLOW under ANSI mode (caught by the ANSI
+        # driver-sim; the edge set is distinct, so XOR is a sound set hash)
         r = e.select(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).first()
         return int(r["n"]), int(r["h"])
 

@@ -67,6 +67,16 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # driver-sim hook: JSON dict of conf overrides applied LAST, so tools
+    # (check_correctness, bench) can be re-run under a foreign session
+    # config (ANSI on, non-UTC timezone) without code changes, e.g.
+    #   MIMIC_SPARK_CONF_JSON='{"spark.sql.ansi.enabled":"true"}'
+    env_conf = os.environ.get("MIMIC_SPARK_CONF_JSON")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
