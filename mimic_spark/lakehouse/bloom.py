@@ -37,10 +37,32 @@ BITS_PER_KEY = 10
 MAX_BYTES = 64 * 1024
 
 
+def supported_key_types(schema, key_cols: list[str]) -> bool:
+    """True iff every key column's type has a writer/lookup-consistent
+    str() encoding.  Timestamps/dates/decimals do NOT: pyarrow hands the
+    harvester tz-aware datetimes while Spark collect() hands the lookup
+    naive session-local ones — the encodings diverge and the bloom would
+    return false NEGATIVES (silently dropped rows).  Tables with such key
+    types simply get no blooms (conservatively kept files, never wrong)."""
+    from pyspark.sql import types as T
+
+    ok = (
+        T.StringType,
+        T.BooleanType,
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+    )
+    by_name = {f.name: f.dataType for f in schema.fields}
+    return all(isinstance(by_name.get(c), ok) for c in key_cols)
+
+
 def key_encode(values: tuple) -> bytes:
     """Canonical byte encoding of one key tuple (writer and lookup must
     agree; str() of Spark-collected and pyarrow-collected scalars matches
-    for the supported key types: str/int/bool)."""
+    for the supported key types: str/int/bool — enforced by
+    supported_key_types at harvest time)."""
     return "\x1f".join(
         v.hex() if isinstance(v, (bytes, bytearray)) else str(v)
         for v in values
@@ -74,10 +96,23 @@ def build_bloom(keys: Iterable[tuple]) -> dict[str, Any]:
 
 def bloom_might_contain(bloom: dict[str, Any], key_tuple: tuple) -> bool:
     """False means the file PROVABLY lacks the key; True means maybe."""
+    return bloom_might_contain_any(bloom, [key_tuple])
+
+
+def bloom_might_contain_any(
+    bloom: dict[str, Any], key_tuples: Iterable[tuple]
+) -> bool:
+    """Test many keys against one filter, decoding the (up to 64 KiB)
+    bitset ONCE — probing per (file, key) with a fresh b64decode each time
+    would make a 1000-key lookup decode every candidate file 1000 times."""
     buf = base64.b64decode(bloom["b64"])
     m_bits = int(bloom["m"])
-    return all(
-        buf[p >> 3] & (1 << (p & 7)) for p in _probes(key_encode(key_tuple), m_bits)
+    return any(
+        all(
+            buf[p >> 3] & (1 << (p & 7))
+            for p in _probes(key_encode(kt), m_bits)
+        )
+        for kt in key_tuples
     )
 
 

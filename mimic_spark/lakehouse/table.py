@@ -406,24 +406,25 @@ class SnapshotTable:
         case where a bucket holds many generations of files.  Files without
         a bloom are conservatively kept."""
         from mimic_spark.functions.hashing import bucket_expr
-        from mimic_spark.lakehouse.bloom import bloom_might_contain
+        from mimic_spark.lakehouse.bloom import bloom_might_contain_any
 
-        # keys must carry the table's exact key types: xxhash64 hashes int
-        # and bigint differently, so an inferred-long lookup key would land
-        # in the wrong bucket
-        schema = self.schema()
-        types = {f.name: f.dataType for f in schema.fields}
+        # ONE snapshot resolution pins everything: the PINNED version's
+        # schema types the lookup keys (xxhash64 hashes int and bigint
+        # differently — a latest-schema cast after a key widening would
+        # hash to the wrong bucket for a time-travel lookup), and that
+        # snapshot's own bucket count drives the hashing
+        if version is None:
+            version = self.latest_version()
+        snap = self.snapshot(version)
+        types = {f.name: f.dataType for f in snap.schema.fields}
         kdf = self.spark.createDataFrame(keys, self.key_cols).select(
             *[F.col(c).cast(types[c]).alias(c) for c in self.key_cols]
         )
+        n_buckets = int(snap.props.get("n_buckets") or self.n_buckets)
         keys_by_bucket: dict[int, list[tuple]] = {}
         for r in (
             kdf.select(
-                # bucket under the PINNED version's count: a time-travel
-                # lookup across a rebucket must hash like that snapshot did
-                bucket_expr(
-                    self.key_cols, self.n_buckets_at(version)
-                ).alias("_b"),
+                bucket_expr(self.key_cols, n_buckets).alias("_b"),
                 *self.key_cols,
             )
             .distinct()
@@ -432,7 +433,6 @@ class SnapshotTable:
             keys_by_bucket.setdefault(int(r["_b"]), []).append(
                 tuple(r[c] for c in self.key_cols)
             )
-        snap = self.snapshot(version)
         in_buckets = [
             f for f in snap.files if f["bucket"] in keys_by_bucket
         ]
@@ -440,9 +440,8 @@ class SnapshotTable:
             f
             for f in in_buckets
             if f.get("key_bloom") is None
-            or any(
-                bloom_might_contain(f["key_bloom"], kt)
-                for kt in keys_by_bucket[f["bucket"]]
+            or bloom_might_contain_any(
+                f["key_bloom"], keys_by_bucket[f["bucket"]]
             )
         ]
         return kept, len(in_buckets), kdf
@@ -509,11 +508,16 @@ class SnapshotTable:
         if sort_cols:
             staged = staged.sortWithinPartitions(*sort_cols)
         # opt-in per-file key blooms (serving tables; see lakehouse/bloom.py
-        # for why min/max key stats can't prune hash-bucketed files)
+        # for why min/max key stats can't prune hash-bucketed files).
+        # Gated on encode-safe key types: a timestamp/date/decimal key would
+        # encode differently at harvest (pyarrow) vs lookup (Spark collect)
+        # and produce bloom false NEGATIVES — silently missing rows
+        from mimic_spark.lakehouse.bloom import supported_key_types
+
         want_bloom = str(self.props().get("key_bloom", "")).lower() in (
             "true",
             "1",
-        )
+        ) and supported_key_types(self.schema(), self.key_cols)
         writer = staged.write.partitionBy("_bucket").mode("error")
         if want_bloom:
             # ALSO write a native parquet bloom on the leading key column

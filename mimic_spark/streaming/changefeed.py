@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from mimic_spark.lakehouse.merge import MergeResult
 from mimic_spark.lakehouse.table import SnapshotTable
 from mimic_spark.streaming.apply import TranscriptCdc
 
@@ -89,30 +90,34 @@ class ChangeFeedConsumer:
         n = batch.count()
         if n == 0:
             # metadata-only upstream versions (rename, props): advance the
-            # cursor with a props-only commit so polls don't re-walk them
+            # cursor with a props-only commit so polls don't re-walk them.
+            # ONE snapshot read — a commit racing between two reads would
+            # pair a stale base with newer files and spuriously conflict
+            base = self.cdc.table.snapshot()
             self.cdc.table.commit(
-                base=self.cdc.table.snapshot(),
+                base=base,
                 op="changefeed-cursor",
-                files=self.cdc.table.snapshot().files,
+                files=base.files,
                 props_update={CURSOR_PROP: cur_v},
             )
             return 0
-        # max() over BOTH the ledger high-watermark and the table's committed
-        # last_batch_id: a crash between the merge commit and the ledger
-        # append leaves _ledger_hwm one behind, and hwm+1 alone would collide
-        # with the already-committed id — the merge would be skipped by the
-        # idempotence guard while this poll still reported n rows applied
-        batch_id = (
-            max(
-                self.cdc._ledger_hwm,
-                int(self.cdc.table.props().get("last_batch_id", -1)),
+        # Crash healing: a crash between the merge commit (table
+        # last_batch_id advanced, cursor advanced) and the ledger append
+        # leaves the ledger one row behind.  Backfill recovery marker(s)
+        # FIRST — otherwise the hole is permanent and the ledger-continuity
+        # audit fails forever — then apply this poll's changes under a
+        # fresh id (never reuse the committed id: its idempotence guard
+        # would silently skip this poll's NEW data).
+        committed = int(self.cdc.table.props().get("last_batch_id", -1))
+        while self.cdc._ledger_hwm < committed:
+            self.cdc._record(
+                self.cdc._ledger_hwm + 1, MergeResult(skipped=True), []
             )
-            + 1
-        )
+        batch_id = self.cdc._ledger_hwm + 1
         result = self.cdc.apply_batch(
             batch, batch_id, extra_props={CURSOR_PROP: cur_v}
         )
-        if result.skipped:  # unreachable with the derivation above; fail loud
+        if result.skipped:  # unreachable after healing; fail loud
             raise RuntimeError(
                 f"change-feed batch id {batch_id} collided with an already-"
                 f"committed merge; cursor did not advance past v{last_v}"

@@ -342,7 +342,13 @@ class Workflow:
     def _run_maintenance(self, step: dict) -> dict:
         """Table maintenance (the reference's cleanup/VACUUM scripts,
         conf-driven): any of compact / expire_snapshots / remove_orphans,
-        in that order, each opt-in via its key."""
+        in that order, each opt-in via its key (true or {} = defaults).
+
+        Ordering contract: register views over a table AFTER its
+        maintenance step (e.g. via a cdc-attach step) — a temp view
+        registered earlier pins the concrete file paths of the
+        registration-time snapshot, which compaction + retention may
+        delete, failing later SQL steps mid-workflow."""
         from mimic_spark.lakehouse.maintenance import (
             compact,
             expire_snapshots,
@@ -356,21 +362,31 @@ class Workflow:
                 f"maintenance: no snapshot table at {path!r}"
             )
         t = SnapshotTable(self.spark, path)
+
+        def _opt(key: str) -> dict | None:
+            """Uniform opt-in: absent/None/false -> skip; true or {} ->
+            defaults; dict -> options.  (An empty dict means 'with
+            defaults', never 'skip' — a falsy check would silently no-op.)"""
+            v = step.get(key)
+            if v is None or v is False:
+                return None
+            return v if isinstance(v, dict) else {}
+
         out: dict[str, Any] = {}
-        if step.get("compact"):
-            c = step["compact"] if isinstance(step["compact"], dict) else {}
+        c = _opt("compact")
+        if c is not None:
             out["compact"] = compact(
                 t,
                 gc_tombstones_below=c.get("gc_tombstones_below"),
                 sort_cols=c.get("sort_cols"),
             )
-        if step.get("expire_snapshots"):
-            e = step["expire_snapshots"]
+        e = _opt("expire_snapshots")
+        if e is not None:
             out["expire_snapshots"] = expire_snapshots(
                 t, keep_last=int(e.get("keep_last", 5))
             )
-        if step.get("remove_orphans"):
-            o = step["remove_orphans"]
+        o = _opt("remove_orphans")
+        if o is not None:
             out["remove_orphans"] = remove_orphan_files(
                 t, older_than_s=float(o.get("older_than_s", 3 * 24 * 3600))
             )

@@ -170,7 +170,9 @@ def test_changefeed_crash_between_merge_and_ledger(spark, tmp_table_dir):
     committed = int(down.table.props().get("last_batch_id"))
     assert down._ledger_hwm < committed  # the crash state we mean to test
 
-    # restart role: a fresh consumer must apply the NEXT slice, not collide
+    # restart role: the next poll must FIRST backfill the missing ledger
+    # row (else the ledger-continuity audit fails forever), then apply the
+    # next slice under a fresh id — never silently skip it
     run_batched(spark, up, chunks)
     n = feed.poll_once()
     assert n > 0  # merge genuinely applied (a collision would have raised)
@@ -178,6 +180,22 @@ def test_changefeed_crash_between_merge_and_ledger(spark, tmp_table_dir):
     feed.run_until_idle()
     assert feed.cursor() == up.table.latest_version()
     assert _published_state(down) == _published_state(up)
+
+    # the healed ledger is contiguous (a recovery marker fills the hole)
+    # and the audit gate — which checks exactly that — passes
+    ledger_ids = sorted(
+        r["batch_id"] for r in down.ledger.read().collect()
+    )
+    assert ledger_ids == list(range(len(ledger_ids)))
+    recovered = [
+        r for r in down.ledger.read().collect() if r["recovered"]
+    ]
+    assert len(recovered) == 1 and recovered[0]["batch_id"] == committed
+
+    from mimic_spark.streaming.audit import run_audit
+
+    rep = run_audit(down, fail_on_error=True)
+    assert all(v["ok"] for v in rep.checks.values())
 
 
 def test_changefeed_expired_cursor_fails_loud(spark, tmp_table_dir):

@@ -673,6 +673,37 @@ def test_key_bloom_point_lookup_skips_files(spark, tmp_table_dir):
     assert sz_on > sz_off + 1000, (sz_on, sz_off)
 
 
+def test_key_bloom_skipped_for_unsafe_key_types(spark, tmp_table_dir):
+    """A timestamp key column encodes differently at harvest (pyarrow,
+    tz-aware) vs lookup (Spark collect, naive) — a bloom would return
+    false NEGATIVES and silently drop rows.  Such tables must get NO
+    blooms (files conservatively kept) even with key_bloom=true."""
+    from datetime import datetime
+
+    schema = T.StructType(
+        [
+            T.StructField("ts_key", T.TimestampType(), False),
+            T.StructField("v", T.IntegerType(), True),
+            T.StructField("_lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, os.path.join(tmp_table_dir, "tskey"), schema, ["ts_key"], 1,
+        props={"key_bloom": "true"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(datetime(2025, 1, 1, h), h, h, False) for h in range(6)], schema
+        )
+    )
+    assert all(f.get("key_bloom") is None for f in t.snapshot().files)
+    kept, total, _ = t.files_for_keys([(datetime(2025, 1, 1, 3),)])
+    assert len(kept) == total  # no bloom -> conservatively kept
+    got = t.read_for_keys([(datetime(2025, 1, 1, 3),)]).collect()
+    assert len(got) == 1 and got[0]["v"] == 3
+
+
 def test_compact_ts_sorted_clusters_row_groups(spark, tmp_table_dir):
     """compact(sort_cols=["ts"]) clusters each bucket file by time, so the
     pushed ts filter of read_time_range prunes ROW GROUPS inside the single

@@ -266,6 +266,10 @@ def test_derived_tables_workflow_conf(spark, tmp_table_dir):
         conf = json.load(f)
     conf["variables"]["root"] = tmp_table_dir
     conf["variables"]["changelog"] = os.path.join(tmp_table_dir, "changelog")
+    # empty dict means "with defaults", not "skip" (falsy-check hazard)
+    for s in conf["steps"]:
+        if s["name"] == "maintain_derived":
+            s["expire_snapshots"] = True  # boolean opt-in coerces to defaults
     results = run_workflow(spark, conf)
     by_name = {r["name"]: r["result"] for r in results}
 
@@ -279,6 +283,12 @@ def test_derived_tables_workflow_conf(spark, tmp_table_dir):
     m = by_name["maintain_derived"]
     assert m["compact"]["files_after"] <= m["compact"]["files_before"]
     assert "expire_snapshots" in m and "remove_orphans" in m
+    # views are registered AFTER maintenance (attach step) so retention
+    # cannot delete the files behind them mid-workflow
+    assert [r["name"] for r in results] == [
+        "apply_source", "chain_derived", "maintain_derived",
+        "attach_derived", "parity", "gate",
+    ]
     t = SnapshotTable(spark, os.path.join(tmp_table_dir, "derived"))
     assert all(not f.get("delta") for f in t.snapshot().files)  # compacted
 
