@@ -420,7 +420,14 @@ class SnapshotTable:
         kdf = self.spark.createDataFrame(keys, self.key_cols).select(
             *[F.col(c).cast(types[c]).alias(c) for c in self.key_cols]
         )
-        n_buckets = int(snap.props.get("n_buckets") or self.n_buckets)
+        # same resolver as n_buckets_at: snapshot prop, else table-create
+        # meta — never the LATEST snapshot's count (after a rebucket, a
+        # time-travel lookup would hash keys under the wrong count)
+        n_buckets = int(
+            snap.props["n_buckets"]
+            if "n_buckets" in snap.props
+            else self.table_meta["n_buckets"]
+        )
         keys_by_bucket: dict[int, list[tuple]] = {}
         for r in (
             kdf.select(
@@ -436,14 +443,21 @@ class SnapshotTable:
         in_buckets = [
             f for f in snap.files if f["bucket"] in keys_by_bucket
         ]
-        kept = [
-            f
-            for f in in_buckets
-            if f.get("key_bloom") is None
-            or bloom_might_contain_any(
-                f["key_bloom"], keys_by_bucket[f["bucket"]]
-            )
-        ]
+
+        def _maybe(f: dict[str, Any]) -> bool:
+            if f.get("key_bloom") is None:
+                return True
+            try:
+                return bloom_might_contain_any(
+                    f["key_bloom"], keys_by_bucket[f["bucket"]]
+                )
+            except Exception:
+                # blooms are an optimization, never a correctness gate: an
+                # unencodable key value (e.g. a lone-surrogate string) or a
+                # corrupt manifest entry keeps the file conservatively
+                return True
+
+        kept = [f for f in in_buckets if _maybe(f)]
         return kept, len(in_buckets), kdf
 
     def read_for_keys(self, keys: list[tuple]) -> DataFrame:
@@ -639,9 +653,16 @@ class SnapshotTable:
             return df.limit(0)
         return df.filter(F.col("_lsn") > F.lit(int(lsn)))
 
-    def _bound_to_utc(self, s: str) -> str:
+    def _bound_to_utc(self, s: str, ntz: bool = False) -> str:
         """Session-local bound string -> naive-UTC string (lexically
-        comparable with manifest ts stats, which are stored naive-UTC)."""
+        comparable with manifest ts stats, which are stored naive-UTC).
+
+        ntz: the ts column is TIMESTAMP_NTZ — stats are naive WALL-CLOCK
+        values (pyarrow hands them back naive, _norm_ts_str keeps them
+        as-is) and the row filter compares wall-clock too, so the bound
+        must NOT be shifted through the session timezone (doing so would
+        wrongly prune files holding matching rows under a non-UTC
+        session; r4 ADVICE)."""
         import datetime as _dt
 
         try:
@@ -649,6 +670,8 @@ class SnapshotTable:
         except ValueError:
             return s
         if d.tzinfo is None:
+            if ntz:
+                return d.isoformat(sep=" ")
             tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
             try:
                 from zoneinfo import ZoneInfo
@@ -671,8 +694,16 @@ class SnapshotTable:
         snap = self.snapshot(version)
         # normalize BOTH sides to naive-UTC strings: manifests written before
         # the tz fix stored '+00:00' suffixes, and query bounds are
-        # interpreted in the session timezone (engine default: UTC)
-        lo, hi = self._bound_to_utc(lo), self._bound_to_utc(hi)
+        # interpreted in the session timezone (engine default: UTC).
+        # TIMESTAMP_NTZ ts columns skip the session-tz shift entirely —
+        # their stats and row filter are both wall-clock
+        ts_field = next(
+            (f for f in snap.schema.fields if f.name == "ts"), None
+        )
+        ntz = ts_field is not None and isinstance(
+            ts_field.dataType, T.TimestampNTZType
+        )
+        lo, hi = self._bound_to_utc(lo, ntz), self._bound_to_utc(hi, ntz)
         kept = [
             f
             for f in snap.files
@@ -733,13 +764,23 @@ class SnapshotTable:
         polling across a compaction re-emits unchanged rows — harmless for
         idempotent upsert consumers (same keys, same or higher lsn), and
         Iceberg's incremental read has the same caveat."""
+        snap, new_files = self.changed_files(from_version, to_version)
+        return self._read_files(snap, new_files, resolve=True)
+
+    def changed_files(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple[Snapshot, list[dict[str, Any]]]:
+        """(snapshot at to_version, data files added after from_version).
+
+        Pure driver-side manifest diff — no Spark job.  Consumers use it to
+        detect metadata-only version windows (renames, props, cursor
+        advances add no data files) before planning any scan."""
         snap = self.snapshot(to_version)
         if from_version < 0:
             prev_paths: set[str] = set()
         else:
             prev_paths = {f["path"] for f in self.snapshot(from_version).files}
-        new_files = [f for f in snap.files if f["path"] not in prev_paths]
-        return self._read_files(snap, new_files, resolve=True)
+        return snap, [f for f in snap.files if f["path"] not in prev_paths]
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Rename a (non-key) column — metadata-only schema evolution.

@@ -640,16 +640,27 @@ def connected_components(
     oracle=None,  # iterative algorithm (non-SQL-expressible); pytest asserts
     # pair-consistency, transitivity, and equality with min-label propagation
 )
-def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_clusters(spark: SparkSession, sf: str, pair_source=None) -> DataFrame:
     """Group near-duplicate documents into clusters and elect a canonical id.
 
-    Connected components over the exact Jaccard pair set via alternating
+    Connected components over a near-dup pair set via alternating
     large-star/small-star contraction (`connected_components` above):
     O(log n) rounds independent of component diameter, so a 100-TB near-dup
     graph with one long chain converges where the O(diameter) min-label
     propagation baseline (kept above as the pytest equality twin) would
-    need a round per hop."""
-    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    need a round per hop.
+
+    pair_source: callable (spark, sf) -> DataFrame[doc_a, doc_b] supplying
+    the edges.  Default is the EXACT shingle self-join
+    (`dedup_ngram_jaccard`) — the validation twin, quadratic in hot
+    shingles.  The 100-TB path passes ``dedup_minhash_lsh``: near-linear
+    banded candidate generation producing the same verified >=0.5-Jaccard
+    pairs (pytest asserts LSH-fed clusters equal exact-fed clusters at
+    sf0.01, where LSH recall is 1.0 — closing the last quadratic
+    dependency in the dedup suite, r4 verdict #1)."""
+    pairs = (pair_source or dedup_ngram_jaccard)(spark, sf).select(
+        "doc_a", "doc_b"
+    )
     (d,) = load_tables(spark, sf, "documents")
     labels = connected_components(spark, pairs, d.select("doc_id"))
     return labels.select(

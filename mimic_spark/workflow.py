@@ -366,11 +366,21 @@ class Workflow:
         def _opt(key: str) -> dict | None:
             """Uniform opt-in: absent/None/false -> skip; true or {} ->
             defaults; dict -> options.  (An empty dict means 'with
-            defaults', never 'skip' — a falsy check would silently no-op.)"""
+            defaults', never 'skip' — a falsy check would silently no-op.)
+            Any OTHER type is a conf bug and raises: a typo like
+            "compact": "false" (string) must not silently RUN compaction
+            (r4 ADVICE)."""
             v = step.get(key)
             if v is None or v is False:
                 return None
-            return v if isinstance(v, dict) else {}
+            if v is True:
+                return {}
+            if isinstance(v, dict):
+                return v
+            raise ValueError(
+                f"maintenance step key {key!r} must be true/false or an "
+                f"options dict, got {type(v).__name__}: {v!r}"
+            )
 
         out: dict[str, Any] = {}
         c = _opt("compact")

@@ -198,6 +198,91 @@ def test_changefeed_crash_between_merge_and_ledger(spark, tmp_table_dir):
     assert all(v["ok"] for v in rep.checks.values())
 
 
+def test_changefeed_single_pass_poll(spark, tmp_table_dir):
+    """r4 verdict #4: each poll scans the version diff exactly once.
+
+    - A data poll must run NO count() job (the old emptiness probe
+      re-scanned the diff before the merge scanned it again); the applied
+      row count now comes from the merge's own Observation.
+    - A metadata-only upstream version (props/rename commits add no data
+      files) is detected from the manifest file lists DRIVER-side: the
+      poll advances the cursor with ZERO Spark jobs."""
+    import pyspark.sql.dataframe as _dfmod
+
+    spec = ChangelogSpec(n_events=800, n_convs=20, n_chunks=2)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clsp")
+    )
+    up = TranscriptCdc(spark, os.path.join(tmp_table_dir, "usp"), n_buckets=2)
+    down = TranscriptCdc(spark, os.path.join(tmp_table_dir, "dsp"), n_buckets=2)
+    feed = ChangeFeedConsumer(spark, up.table_path, down)
+
+    # data poll with count() poisoned: any emptiness-probe regression raises
+    run_batched(spark, up, chunks[:1])
+    real_count = _dfmod.DataFrame.count
+
+    def _no_count(self):
+        raise AssertionError("poll_once must not run a count() job")
+
+    _dfmod.DataFrame.count = _no_count
+    try:
+        n = feed.poll_once()
+    finally:
+        _dfmod.DataFrame.count = real_count
+    assert n > 0
+    assert _published_state(down) == _published_state(up)
+
+    # metadata-only version: props commit adds no data files -> zero jobs
+    base = up.table.snapshot()
+    up.table.commit(
+        base=base, op="props", files=base.files,
+        props_update={"note": "metadata only"},
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("meta-poll", "metadata-only poll must plan no job")
+    try:
+        assert feed.poll_once() == 0
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker().getJobIdsForGroup("meta-poll")) == 0
+    assert feed.cursor() == up.table.latest_version()
+
+    # sanity: the same counter DOES see jobs when a real scan happens
+    sc.setJobGroup("data-poll", "data poll runs jobs")
+    try:
+        run_batched(spark, up, chunks)
+        assert feed.poll_once() > 0
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker().getJobIdsForGroup("data-poll")) > 0
+
+
+def test_changefeed_backfill_gap_bounded(spark, tmp_table_dir):
+    """A genuine crash leaves a ledger gap of exactly 1; a huge gap means
+    the ledger table was lost/recreated and the poll must fail loud instead
+    of fabricating thousands of recovery markers (r4 ADVICE)."""
+    import pytest
+
+    from mimic_spark.streaming.changefeed import MAX_LEDGER_BACKFILL
+
+    spec = ChangelogSpec(n_events=600, n_convs=20, n_chunks=2)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clbg")
+    )
+    up = TranscriptCdc(spark, os.path.join(tmp_table_dir, "ubg"), n_buckets=2)
+    down = TranscriptCdc(spark, os.path.join(tmp_table_dir, "dbg"), n_buckets=2)
+    feed = ChangeFeedConsumer(spark, up.table_path, down)
+    run_batched(spark, up, chunks[:1])
+    feed.run_until_idle()
+
+    # simulate a lost ledger: hwm far behind the committed last_batch_id
+    committed = int(down.table.props().get("last_batch_id"))
+    down._ledger_hwm = committed - (MAX_LEDGER_BACKFILL + 1)
+    run_batched(spark, up, chunks)
+    with pytest.raises(RuntimeError, match="lost or recreated"):
+        feed.poll_once()
+
+
 def test_changefeed_expired_cursor_fails_loud(spark, tmp_table_dir):
     """If upstream snapshot retention expired the cursor's version, an
     incremental read would silently lose history — the consumer must raise

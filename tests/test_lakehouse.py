@@ -296,9 +296,10 @@ def test_history_survives_expiry_holes(spark, tmp_table_dir):
 
 
 def test_decoder_runtime_selection():
-    """_decode_one dispatches per payload magic: FAKE -> stub; real formats
-    raise a clear NotImplementedError on codec-less workers (this sandbox),
-    and would route to PIL/soundfile where installed."""
+    """_decode_one dispatches per payload magic: FAKE -> stub; WAV decodes
+    for real (stdlib `wave` when soundfile is absent — this sandbox); PNG
+    raises a clear NotImplementedError on image-codec-less workers and
+    would route to PIL where installed."""
     import struct as _struct
 
     import pytest as _pytest
@@ -309,16 +310,73 @@ def test_decoder_runtime_selection():
     w, h, feats = _decode_one(fake)
     assert (w, h) == (32, 16) and len(feats) == 4
 
-    img_mod, snd_mod = _codec_modules()
+    img_mod, _snd_mod = _codec_modules()
     png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
     if img_mod is None:
         with _pytest.raises(NotImplementedError, match="image codec"):
             _decode_one(png)
-    if snd_mod is None:
-        with _pytest.raises(NotImplementedError, match="audio codec"):
-            _decode_one(b"RIFF" + b"\x00" * 16)
     with _pytest.raises(ValueError, match="bad media magic"):
         _decode_one(b"ZZZZ" + b"\x00" * 16)
+
+
+def _make_wav(
+    samples: list[int], rate: int = 8000, channels: int = 1, width: int = 2
+) -> bytes:
+    """Genuine RIFF/WAVE bytes via the stdlib writer (interleaved PCM)."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_wav_decode_real_bytes(spark):
+    """r4 verdict #2: the audio decode stage runs on REAL WAV bytes in this
+    sandbox (stdlib `wave` PCM decode), end-to-end through the same
+    mapInPandas/Arrow path the FAKE format uses — duration, rate and
+    normalized sample features all checked against hand-computed values."""
+    from mimic_spark.operators.multimodal import _decode_one, decode_media_stub
+
+    # mono: 4 known 16-bit samples at 8 kHz
+    mono = _make_wav([0, 16384, -32768, 8192], rate=8000)
+    n, rate, feats = _decode_one(mono)
+    assert (n, rate) == (4, 8000)
+    assert feats[0] == round(4 / 64.0, 6)  # duration proxy: frames/64
+    assert feats[1] == round((0 + 0.5 + 1.0 + 0.25) / 4, 6)  # mean |x|
+    assert feats[2] == 0.0  # first sample
+    assert feats[3] == 0.25  # last frame, channel 0
+
+    # stereo: last-frame feature must come from channel 0, not channel 1
+    stereo = _make_wav(
+        [100, -100, 16384, -16384], rate=44100, channels=2
+    )
+    n2, rate2, feats2 = _decode_one(stereo)
+    assert (n2, rate2) == (2, 44100)
+    assert feats2[3] == round(16384 / 32768.0, 6)
+
+    # the same bytes through the full Spark Arrow path
+    pdf = spark.createDataFrame(
+        [(1, "audio", bytearray(mono)), (2, "audio", bytearray(stereo))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pdf.mapInPandas(
+            decode_media_stub,
+            schema="doc_id long, media_type string, dec_width int, "
+            "dec_height int, features array<double>",
+        ).collect()
+    }
+    assert out[1]["dec_width"] == 4 and out[1]["dec_height"] == 8000
+    assert out[2]["dec_width"] == 2 and out[2]["dec_height"] == 44100
+    assert out[1]["features"] == feats
+    assert out[2]["features"] == feats2
 
 
 def test_rename_column_evolution(spark, tmp_table_dir):

@@ -206,6 +206,22 @@ def test_ivf_recall_and_determinism(spark):
     # baseline shows the cells carry signal (clustered corpora score higher)
     assert avg >= 0.3, f"IVF avg recall too low: {avg} ({recalls})"
 
+    # r4 verdict #6: Lloyd refinement must not LOSE recall vs the raw seed
+    # centroids (on clustered corpora it gains; this near-uniform corpus
+    # bounds it from below)
+    seed_only = {}
+    for r in (
+        OPS["ann_ivf_probe"].fn(spark, SF, lloyd_iters=0).collect()
+    ):
+        seed_only.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    seed_recalls = [
+        len(brute[q] & seed_only.get(q, set())) / len(brute[q]) for q in brute
+    ]
+    seed_avg = sum(seed_recalls) / len(seed_recalls)
+    assert avg >= seed_avg - 1e-9, (
+        f"Lloyd refinement regressed recall: {avg} < seed {seed_avg}"
+    )
+
 
 def test_cosine_dedup_consistent_with_topk(spark):
     """Every (query, neighbor) from brute-force top-k whose cos_sim clears
@@ -264,6 +280,29 @@ def test_dedup_clusters_consistent(spark):
     for doc, lab in labels.items():
         if doc not in paired:
             assert lab == doc  # singleton is its own canonical
+
+
+def test_dedup_clusters_lsh_pair_source_equals_exact(spark):
+    """The scale path: dedup_clusters fed from the near-linear MinHash-LSH
+    pair generator must produce the same clusters as the exact (quadratic)
+    shingle self-join feed — at sf0.01, where LSH recall on >=0.5-Jaccard
+    pairs is 1.0 (test_minhash_lsh_subset_of_exact bounds it below at
+    sf0.001).  This is the r4-verdict seam that removes the last quadratic
+    dependency from the clustering path at 100 TB."""
+    from mimic_spark.operators.dedup import dedup_minhash_lsh
+
+    sf01 = "/root/testdata/sf0.01"
+    exact_fed = {
+        (r["doc_id"], r["cluster_id"], r["is_dup"])
+        for r in OPS["dedup_clusters"].fn(spark, sf01).collect()
+    }
+    lsh_fed = {
+        (r["doc_id"], r["cluster_id"], r["is_dup"])
+        for r in OPS["dedup_clusters"]
+        .fn(spark, sf01, pair_source=dedup_minhash_lsh)
+        .collect()
+    }
+    assert lsh_fed == exact_fed
 
 
 def test_star_contraction_equals_label_propagation(spark):
