@@ -77,18 +77,22 @@ def main() -> int:
     # warm the session (JVM/codegen) outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Two timed passes per query:
-    #  - cold: includes Catalyst analysis + Janino codegen of the query's
-    #    expressions (a fixed per-plan cost — the portable-hash operators
-    #    compile ~2-3s of nested lambdas regardless of data size);
-    #  - steady: the same plan re-executed, which is what repeats at scale
-    #    (at 100 TB the one-time compile amortizes to zero).
-    # `queries`/`value` report steady state; cold totals ride along for
-    # honesty.  cache_for_query releases each query's caches at the next
-    # catalog invocation, so the steady pass rebuilds its own caches — no
-    # cross-query (or cross-pass) cache dependence.
+    # Timed passes per query:
+    #  - cold (1 pass): includes Catalyst analysis + Janino codegen of the
+    #    query's expressions (a fixed per-plan cost — the portable-hash
+    #    operators compile ~2-3s of nested lambdas regardless of data size);
+    #  - steady (median of N_STEADY_SAMPLES, r4 verdict #5): the same plan
+    #    re-executed, which is what repeats at scale.  Single steady samples
+    #    swung ±30% run-to-run on this box (r4's apparent ann_cosine_topk
+    #    "regression" was exactly that); the median settles it for ~20s.
+    # `queries`/`value` report the steady medians; per-query sample spreads
+    # land in BENCH/latest.json.  cache_for_query releases each query's
+    # caches at the next catalog invocation, so every pass rebuilds its own
+    # caches — no cross-query (or cross-pass) cache dependence.
+    n_steady = int(os.environ.get("SPARK_GRAFT_STEADY_SAMPLES", "3"))
     queries: dict[str, float] = {}
     queries_cold: dict[str, float] = {}
+    queries_samples: dict[str, list[float]] = {}
     total = 0.0
     total_cold = 0.0
     from mimic_spark.operators.windows import era_gaps_islands
@@ -100,11 +104,15 @@ def main() -> int:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold = time.time() - t0
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
+        samples = []
+        for _ in range(n_steady):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        dt = sorted(samples)[len(samples) // 2]
         queries_cold[name] = round(cold, 3)
-        queries[name] = round(dt, 3)
+        queries[name] = dt
+        queries_samples[name] = samples
         total_cold += cold
         total += dt
 
@@ -172,6 +180,17 @@ def main() -> int:
             "see": "BENCH/BASELINE.md",
         }
 
+    # sf1 scale-trend point (r4 verdict #8): recorded by tools/bench_sf1.py
+    # (deterministic 10x tile of sf0.1, cold+steady for the 14 headline
+    # ops, per-op growth-ratio audit) — rerun with
+    #   python tools/bench_sf1.py        # ~6 min incl. generation
+    sf1 = None
+    sf1_path = os.path.join(here, "BENCH", "sf1.json")
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            rec = json.load(f)
+        sf1 = {"recorded": True, **rec, "see": "tools/bench_sf1.py"}
+
     scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
     if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1":
@@ -215,12 +234,15 @@ def main() -> int:
         "value": round(total, 2),
         "unit": "sec",
         "queries": queries,
+        "queries_steady_samples": queries_samples,
+        "steady_median_of": n_steady,
         "value_cold": round(total_cold, 2),
         "queries_cold": queries_cold,
         "sf": sf,
         "cdc": cdc_info,
         "cdc_large_batch": large_batch,
         "cdc_scaling": scaling,
+        "sf1": sf1,
     }
     detail_path = os.path.join(here, "BENCH", "latest.json")
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
@@ -228,8 +250,8 @@ def main() -> int:
         json.dump(detail, f, indent=1)
 
     compact = {
-        "metric": "headline steady sec (14 ops) + CDC ev/s (median of %d)"
-        % n_cdc_samples,
+        "metric": "headline steady sec (14 ops, median of %d) + CDC ev/s "
+        "(median of %d)" % (n_steady, n_cdc_samples),
         "value": round(total, 2),
         "unit": "sec",
         "queries": queries,
@@ -250,6 +272,11 @@ def main() -> int:
                 "efficiency": scaling["scaling_efficiency"],
             }
             if scaling
+            else None
+        ),
+        "sf1": (
+            {"value": sf1.get("value"), "ratio": sf1.get("ratio_total")}
+            if sf1
             else None
         ),
         "detail": "BENCH/latest.json",

@@ -39,11 +39,20 @@ MAX_BYTES = 64 * 1024
 
 def supported_key_types(schema, key_cols: list[str]) -> bool:
     """True iff every key column's type has a writer/lookup-consistent
-    str() encoding.  Timestamps/dates/decimals do NOT: pyarrow hands the
-    harvester tz-aware datetimes while Spark collect() hands the lookup
-    naive session-local ones — the encodings diverge and the bloom would
-    return false NEGATIVES (silently dropped rows).  Tables with such key
-    types simply get no blooms (conservatively kept files, never wrong)."""
+    encoding.
+
+    str/bool/integral types encode via str() identically on both sides.
+    TIMESTAMP and DATE keys (r5) encode CANONICALLY as epoch integers at
+    BOTH ends — the harvester casts the pyarrow column to int64 epoch
+    micros / int32 epoch days, and the lookup computes unix_micros /
+    unix_date JVM-side BEFORE collect (never str() of a collected
+    datetime: pyarrow hands back tz-aware UTC while Spark collect hands
+    back naive session-local — those strings diverge and a bloom built on
+    them would return false NEGATIVES).  TIMESTAMP_NTZ stays unsupported:
+    unix_micros on NTZ routes through the session timezone, so there is
+    no session-independent canonical integer for it.  Floats/decimals/
+    binary stay unsupported (formatting divergence); such tables simply
+    get no blooms (conservatively kept files, never wrong)."""
     from pyspark.sql import types as T
 
     ok = (
@@ -53,7 +62,11 @@ def supported_key_types(schema, key_cols: list[str]) -> bool:
         T.ShortType,
         T.IntegerType,
         T.LongType,
+        T.TimestampType,
+        T.DateType,
     )
+    # (TimestampNTZType is NOT a TimestampType subclass, so the allowlist
+    # alone already excludes it — asserted by the unsafe-key-types pytest)
     by_name = {f.name: f.dataType for f in schema.fields}
     return all(isinstance(by_name.get(c), ok) for c in key_cols)
 
@@ -121,12 +134,27 @@ def harvest_file_bloom(
 ) -> dict[str, Any] | None:
     """Read a data file's key columns (columnar — only those columns hit
     disk) and build its bloom.  Returns None if anything goes wrong: blooms
-    are an optimization, never a correctness gate."""
+    are an optimization, never a correctness gate.
+
+    Timestamp/date columns are canonicalized to epoch integers (micros /
+    days) BEFORE encoding — the lookup side computes the same integers
+    JVM-side (unix_micros/unix_date in files_for_keys), so the two ends
+    agree on an absolute-instant encoding no matter the session timezone."""
     try:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(parquet_path, columns=key_cols)
-        cols = [tbl.column(c).to_pylist() for c in key_cols]
+        cols = []
+        for c in key_cols:
+            col = tbl.column(c)
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(
+                    pa.timestamp("us", tz=col.type.tz)
+                ).cast(pa.int64())
+            elif pa.types.is_date(col.type):
+                col = col.cast(pa.date32()).cast(pa.int32())
+            cols.append(col.to_pylist())
         return build_bloom(zip(*cols)) if cols else None
     except Exception:
         return None

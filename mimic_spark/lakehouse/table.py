@@ -428,11 +428,23 @@ class SnapshotTable:
             if "n_buckets" in snap.props
             else self.table_meta["n_buckets"]
         )
+        # bloom-probe encoding: ts/date keys become epoch integers JVM-side
+        # BEFORE collect — a collected datetime is naive session-local and
+        # would diverge from the harvester's tz-aware pyarrow values (bloom
+        # false negatives); unix_micros/unix_date are absolute instants.
+        # The bucket hash still runs on the original typed columns.
+        def _enc(c: str) -> F.Column:
+            if isinstance(types[c], T.TimestampType):
+                return F.unix_micros(F.col(c)).alias(c)
+            if isinstance(types[c], T.DateType):
+                return F.unix_date(F.col(c)).alias(c)
+            return F.col(c)
+
         keys_by_bucket: dict[int, list[tuple]] = {}
         for r in (
             kdf.select(
                 bucket_expr(self.key_cols, n_buckets).alias("_b"),
-                *self.key_cols,
+                *[_enc(c) for c in self.key_cols],
             )
             .distinct()
             .collect()
@@ -523,9 +535,10 @@ class SnapshotTable:
             staged = staged.sortWithinPartitions(*sort_cols)
         # opt-in per-file key blooms (serving tables; see lakehouse/bloom.py
         # for why min/max key stats can't prune hash-bucketed files).
-        # Gated on encode-safe key types: a timestamp/date/decimal key would
-        # encode differently at harvest (pyarrow) vs lookup (Spark collect)
-        # and produce bloom false NEGATIVES — silently missing rows
+        # Gated on encode-safe key types (str/bool/integral, plus ts/date
+        # via the canonical epoch encoding — see supported_key_types);
+        # float/decimal/NTZ keys would encode inconsistently at harvest
+        # (pyarrow) vs lookup and produce bloom false NEGATIVES
         from mimic_spark.lakehouse.bloom import supported_key_types
 
         want_bloom = str(self.props().get("key_bloom", "")).lower() in (

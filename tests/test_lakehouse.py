@@ -731,12 +731,13 @@ def test_key_bloom_point_lookup_skips_files(spark, tmp_table_dir):
     assert sz_on > sz_off + 1000, (sz_on, sz_off)
 
 
-def test_key_bloom_skipped_for_unsafe_key_types(spark, tmp_table_dir):
-    """A timestamp key column encodes differently at harvest (pyarrow,
-    tz-aware) vs lookup (Spark collect, naive) — a bloom would return
-    false NEGATIVES and silently drop rows.  Such tables must get NO
-    blooms (files conservatively kept) even with key_bloom=true."""
-    from datetime import datetime
+def test_key_bloom_ts_key_epoch_canonical(spark, tmp_table_dir):
+    """r4 verdict #7: timestamp keys get blooms via the canonical epoch
+    encoding — pyarrow harvests int64 epoch micros, the lookup computes
+    unix_micros JVM-side before collect — so time-keyed tables prune point
+    lookups too, with ZERO false negatives under UTC and non-UTC session
+    timezones."""
+    from datetime import datetime, timedelta, timezone
 
     schema = T.StructType(
         [
@@ -750,16 +751,90 @@ def test_key_bloom_skipped_for_unsafe_key_types(spark, tmp_table_dir):
         spark, os.path.join(tmp_table_dir, "tskey"), schema, ["ts_key"], 1,
         props={"key_bloom": "true"},
     )
+    # four files with disjoint hour ranges (one bucket: only blooms prune)
+    for gen in range(4):
+        t.append(
+            spark.createDataFrame(
+                [
+                    (datetime(2025, 1, 1 + gen, h), gen * 100 + h, h, False)
+                    for h in range(6)
+                ],
+                schema,
+            )
+        )
+    snap = t.snapshot()
+    assert all(f.get("key_bloom") for f in snap.files)
+
+    def probe_all(keys_fn):
+        """Look up EVERY row's key; any miss is a bloom false negative."""
+        for gen in range(4):
+            for h in range(6):
+                key = keys_fn(gen, h)
+                kept, total, _ = t.files_for_keys([(key,)])
+                assert total == 4
+                got = t.read_for_keys([(key,)]).collect()
+                assert len(got) == 1 and got[0]["v"] == gen * 100 + h, (
+                    f"false negative for {key!r}"
+                )
+                yield len(kept)
+
+    # UTC session (rows were written under it): naive keys
+    kept_counts = list(probe_all(lambda g, h: datetime(2025, 1, 1 + g, h)))
+    # pruning actually happens (1 matching file per key, + rare 1% fps)
+    assert sum(kept_counts) <= len(kept_counts) * 2
+
+    # non-UTC session: the same INSTANTS, passed tz-aware (a naive literal
+    # under a different session tz is a different instant by design)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        kept_counts = list(
+            probe_all(
+                lambda g, h: datetime(
+                    2025, 1, 1 + g, h, tzinfo=timezone.utc
+                )
+            )
+        )
+        assert sum(kept_counts) <= len(kept_counts) * 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_key_bloom_skipped_for_unsafe_key_types(spark, tmp_table_dir):
+    """A double key column's formatting diverges between harvest (pyarrow)
+    and lookup — a bloom could return false NEGATIVES and silently drop
+    rows.  Such tables must get NO blooms (files conservatively kept)
+    even with key_bloom=true."""
+    schema = T.StructType(
+        [
+            T.StructField("d_key", T.DoubleType(), False),
+            T.StructField("v", T.IntegerType(), True),
+            T.StructField("_lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, os.path.join(tmp_table_dir, "dkey"), schema, ["d_key"], 1,
+        props={"key_bloom": "true"},
+    )
     t.append(
         spark.createDataFrame(
-            [(datetime(2025, 1, 1, h), h, h, False) for h in range(6)], schema
+            [(h + 0.5, h, h, False) for h in range(6)], schema
         )
     )
     assert all(f.get("key_bloom") is None for f in t.snapshot().files)
-    kept, total, _ = t.files_for_keys([(datetime(2025, 1, 1, 3),)])
+    kept, total, _ = t.files_for_keys([(3.5,)])
     assert len(kept) == total  # no bloom -> conservatively kept
-    got = t.read_for_keys([(datetime(2025, 1, 1, 3),)]).collect()
+    got = t.read_for_keys([(3.5,)]).collect()
     assert len(got) == 1 and got[0]["v"] == 3
+
+    # TIMESTAMP_NTZ keys are excluded too (no session-independent epoch)
+    from mimic_spark.lakehouse.bloom import supported_key_types
+
+    ntz_schema = T.StructType(
+        [T.StructField("k", T.TimestampNTZType(), False)]
+    )
+    assert not supported_key_types(ntz_schema, ["k"])
 
 
 def test_compact_ts_sorted_clusters_row_groups(spark, tmp_table_dir):
