@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mimic_spark.operators.catalog import cache_for_query, load_tables, register
+from mimic_spark.operators.catalog import load_tables, register
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -334,11 +334,12 @@ def ann_ivf_probe(
                 "cell",
                 F.coalesce(F.col("new_cv"), F.col("cv")).alias("cv"),
             )
+            # eager lineage cut (K tiny rows, same pattern as the CC
+            # contraction): without it each iteration EMBEDS the previous
+            # one twice (members + the final join), unrolling to 2^iters
+            # corpus scans in the downstream plan
+            .localCheckpoint()
         )
-    if lloyd_iters:
-        # the refined centroid table is K tiny rows reused by three
-        # downstream joins — pin it so each iteration's plan isn't replayed
-        cents = cache_for_query(cents)
 
     assigned = best_cells(e, cents, "v", "cell", 1)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
