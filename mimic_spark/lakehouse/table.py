@@ -472,17 +472,21 @@ class SnapshotTable:
         kept = [f for f in in_buckets if _maybe(f)]
         return kept, len(in_buckets), kdf
 
-    def read_for_keys(self, keys: list[tuple]) -> DataFrame:
+    def read_for_keys(
+        self, keys: list[tuple], version: int | None = None
+    ) -> DataFrame:
         """Point/key-lookup read: prune to the buckets the key tuples hash
         to, then to the files whose blooms may hold them (serving-read path
         — O(touched files), not O(table)).
 
         keys: list of tuples in key_cols order.
+        version: time-travel lookup against a pinned snapshot (incremental
+        view maintenance reads each key's PRE-batch value this way).
         """
         # pin ONE snapshot version for both the file pruning and the read —
         # a commit racing between two snapshot() calls must not mix file
         # lists across versions
-        v = self.latest_version()
+        v = self.latest_version() if version is None else version
         kept, _, kdf = self.files_for_keys(keys, version=v)
         df = self._read_files(self.snapshot(v), kept, resolve=True)
         return df.join(F.broadcast(kdf), self.key_cols, "left_semi")

@@ -22,6 +22,8 @@ with Spark as the engine:
   (reference's forced-cast-error abort, post_etl_audit.sql:456-499).
 - step `type: "changefeed"` — chain a downstream CDC table off an upstream
   table's change feed (the staged->derived hop, conf-driven).
+- step `type: "rollup"` — maintain an incremental per-conversation
+  aggregate table off an upstream table's change feed (streaming/rollup).
 - step `type: "maintenance"` — compact / expire_snapshots / remove_orphans
   on a table (the reference's cleanup/VACUUM scripts, conf-driven).
 """
@@ -337,6 +339,33 @@ class Workflow:
             "rows_applied": int(applied),
             "cursor": feed.cursor(),
             "version": down.table.latest_version(),
+        }
+
+    def _run_rollup(self, step: dict) -> dict:
+        """Maintain an incrementally-updated aggregate table off an
+        upstream CDC table's change feed (streaming/rollup.py — the
+        continuous-aggregate role; r5).
+
+        keys: upstream (table path), table (rollup path), n_buckets,
+        max_point_keys; registers the published rollup view if asked."""
+        from mimic_spark.streaming.rollup import IncrementalConvRollup
+
+        roll = IncrementalConvRollup(
+            self.spark,
+            self._sub(step["upstream"]),
+            self._sub(step["table"]),
+            n_buckets=int(step.get("n_buckets", 16)),
+            max_point_keys=int(step.get("max_point_keys", 10_000)),
+        )
+        changed = roll.run_until_idle(
+            max_polls=int(step.get("max_polls", 1000))
+        )
+        if step.get("register"):
+            roll.read().createOrReplaceTempView(step["register"])
+        return {
+            "conversations_changed": int(changed),
+            "cursor": roll.cursor(),
+            "version": roll.table.latest_version(),
         }
 
     def _run_maintenance(self, step: dict) -> dict:

@@ -1,0 +1,166 @@
+"""Incremental view maintenance: the per-conversation rollup table tracks
+the upstream CDC table's change feed by delta+retraction and must equal a
+full groupBy recompute of the upstream published state after every poll —
+through inserts, updates, deletes, late/stale events, restarts, and both
+old-value read paths (point lookup and bucket-scoped scan)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mimic_spark.sources.changelog import ChangelogSpec, write_changelog_chunks
+from mimic_spark.streaming.apply import TranscriptCdc, run_batched
+from mimic_spark.streaming.rollup import IncrementalConvRollup
+
+
+def _recompute(cdc: TranscriptCdc) -> list[tuple]:
+    """The rollup's defining oracle: a full recompute from published rows."""
+    return sorted(
+        (r["conv_id"], r["n_turns"], r["n_chars"])
+        for r in cdc.read_published()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .collect()
+    )
+
+
+def _materialized(roll: IncrementalConvRollup) -> list[tuple]:
+    return sorted(
+        (r["conv_id"], r["n_turns"], r["n_chars"])
+        for r in roll.read().collect()
+    )
+
+
+def test_rollup_tracks_upstream_incrementally(spark, tmp_table_dir):
+    spec = ChangelogSpec(n_events=2400, n_convs=50, n_chunks=4)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clru")
+    )
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "upru"), n_buckets=4,
+        mode="mor", compact_every=0,
+    )
+    roll = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rollru"),
+        n_buckets=2,
+    )
+
+    # incremental convergence after every upstream batch
+    for i in range(len(chunks)):
+        run_batched(spark, up, chunks[: i + 1])
+        roll.run_until_idle()
+        assert roll.cursor() == up.table.latest_version()
+        assert _materialized(roll) == _recompute(up), f"diverged at batch {i}"
+
+    # deletes: remove a few turns, including EVERY turn of one conversation
+    # (its rollup row must disappear, not linger at zero)
+    rows = up.read_published().collect()
+    by_conv: dict = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    victim_conv = sorted(by_conv)[0]
+    wm = up.high_watermark()
+    del_rows = [
+        (victim_conv, t, "user", "", None, None, wm + 1 + j, "delete")
+        for j, t in enumerate(by_conv[victim_conv])
+    ]
+    other = sorted(by_conv)[1]
+    del_rows.append(
+        (other, by_conv[other][0], "user", "", None, None,
+         wm + 1 + len(del_rows), "delete")
+    )
+    up.apply_batch(
+        spark.createDataFrame(
+            del_rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp, lsn long, op string",
+        ),
+        len(chunks),
+    )
+    roll.run_until_idle()
+    state = _materialized(roll)
+    assert state == _recompute(up)
+    assert victim_conv not in {c for c, _, _ in state}
+
+    # stale late event: lower lsn than the key's current row — a no-op
+    # upstream, must be a no-op in the rollup (the staleness guard)
+    key = [r for r in up.read_published().collect()][0]
+    up.apply_batch(
+        spark.createDataFrame(
+            [(key["conv_id"], key["turn_idx"], "user",
+              "stale-text-of-a-very-different-length", None, None, 0,
+              "update")],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp, lsn long, op string",
+        ),
+        len(chunks) + 1,
+    )
+    roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)
+
+    # restart role: a fresh consumer derives its cursor from the rollup
+    # table itself and sees idle; replayed polls are no-ops
+    roll2 = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rollru")
+    )
+    assert roll2.cursor() == up.table.latest_version()
+    assert roll2.poll_once() == 0
+    assert _materialized(roll2) == _recompute(up)
+
+
+def test_rollup_bucket_scan_path_matches_point_path(spark, tmp_table_dir):
+    """max_point_keys=8 forces the bucket-scoped old-value scan (the large-
+    batch path); results must match the recompute exactly as the point path
+    does."""
+    spec = ChangelogSpec(n_events=1200, n_convs=30, n_chunks=3)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clrb")
+    )
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "uprb"), n_buckets=4,
+        mode="mor", compact_every=0,
+    )
+    roll = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rollrb"),
+        n_buckets=2, max_point_keys=8,
+    )
+    for i in range(len(chunks)):
+        run_batched(spark, up, chunks[: i + 1])
+        roll.run_until_idle()
+        assert _materialized(roll) == _recompute(up)
+
+
+def test_rollup_survives_upstream_compaction(spark, tmp_table_dir):
+    """Compaction rewrites every row into new files; the re-emitted
+    unchanged rows must zero out (no delta) and the rollup must stay
+    exactly converged."""
+    from mimic_spark.lakehouse.maintenance import compact
+
+    spec = ChangelogSpec(n_events=1000, n_convs=25, n_chunks=2)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clrc")
+    )
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "uprc"), n_buckets=4,
+        mode="mor", compact_every=0,
+    )
+    roll = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rollrc"),
+        n_buckets=2,
+    )
+    run_batched(spark, up, chunks)
+    roll.run_until_idle()
+    before = _materialized(roll)
+    rollup_v = roll.table.latest_version()
+
+    compact(up.table)
+    roll.run_until_idle()
+    assert _materialized(roll) == before == _recompute(up)
+    # the compaction poll changed no aggregates: cursor-only commit(s)
+    for v in range(rollup_v + 1, roll.table.latest_version() + 1):
+        assert roll.table.snapshot(v).op == "rollup-cursor"

@@ -286,14 +286,17 @@ def test_derived_tables_workflow_conf(spark, tmp_table_dir):
     # views are registered AFTER maintenance (attach step) so retention
     # cannot delete the files behind them mid-workflow
     assert [r["name"] for r in results] == [
-        "apply_source", "chain_derived", "maintain_derived",
-        "attach_derived", "parity", "gate",
+        "apply_source", "chain_derived", "maintain_rollup",
+        "maintain_derived", "attach_derived", "parity", "gate",
     ]
     t = SnapshotTable(spark, os.path.join(tmp_table_dir, "derived"))
     assert all(not f.get("delta") for f in t.snapshot().files)  # compacted
 
+    # conf-driven incremental rollup converged with the source feed
+    assert by_name["maintain_rollup"]["conversations_changed"] > 0
     parity = spark.table("parity").collect()[0]
     assert parity["src_rows"] == parity["derived_rows"] == len(s)
+    assert parity["rollup_convs"] == parity["src_convs"] > 0
 
     # exactly one run-metadata row for the run
     from mimic_spark.workflow import read_run_metadata
