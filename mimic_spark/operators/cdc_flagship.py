@@ -48,3 +48,41 @@ def run_cdc_flagship(
 )
 def cdc_transcripts_final(spark: SparkSession, sf: str) -> DataFrame:
     return run_cdc_flagship(spark)
+
+
+@register(
+    "rollup_conv_incremental",
+    family="streaming: change-feed-maintained per-conversation aggregate table (incremental view maintenance, delta+retraction)",
+    oracle=None,  # multi-commit stateful pipeline; equality vs a full
+    # groupBy recompute after EVERY poll is asserted in tests/test_rollup.py
+)
+def rollup_conv_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end IVM demo (r5): CDC-apply a deterministic changelog batch
+    by batch, maintaining the conversation rollup from the change feed
+    after each batch; returns the final materialized rollup (which
+    tests/test_rollup.py proves equals the full recompute at every
+    intermediate state, through deletes, stale events, and restarts)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mimic_spark.streaming.rollup import IncrementalConvRollup
+
+    workdir = tempfile.mkdtemp(prefix="mimic_spark_rollup_")
+    spec = ChangelogSpec(n_events=6000, n_convs=120, n_chunks=4)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(workdir, "changelog")
+    )
+    cdc = TranscriptCdc(
+        spark, os.path.join(workdir, "transcripts"), mode="mor",
+        compact_every=0,
+    )
+    roll = IncrementalConvRollup(
+        spark, cdc.table_path, os.path.join(workdir, "conv_rollup")
+    )
+    for i in range(len(chunks)):
+        run_batched(spark, cdc, chunks[: i + 1])
+        roll.run_until_idle()
+    return roll.read().orderBy("conv_id").select(
+        "conv_id", "n_turns", "n_chars", F.col("src_version")
+    )

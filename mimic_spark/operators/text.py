@@ -417,3 +417,59 @@ def text_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
             n_tris > 0, F.lit(1.0) - n_dist * F.lit(1.0) / n_tris
         ).alias("rep_ratio"),
     )
+
+
+CHUNK_WORDS = 64  # window size (words per chunk)
+CHUNK_STRIDE = 48  # overlap = CHUNK_WORDS - CHUNK_STRIDE = 16 words
+
+
+@register(
+    "chunk_documents",
+    family="training-data: sliding-window document chunking for context windows / embedding input (registers after the frozen 50-query window; value-checked by tools/check_correctness.py)",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, len(ws), {CHUNK_STRIDE})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       array_to_string(
+         list_slice(ws, start, least(start + {CHUNK_WORDS} - 1, len(ws))),
+         ' ') AS chunk_text,
+       CAST(least({CHUNK_WORDS}, len(ws) - start + 1) AS BIGINT) AS n_tokens
+FROM s
+""",
+)
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking: split each document into 64-word windows
+    every 48 words (16-word overlap) — the preprocessing step that feeds
+    context-window-bounded consumers (embedding models, RAG indexes,
+    packed pretraining sequences via pack_sequences).
+
+    Chunk starts are 1, 1+stride, ... <= n_words, mirrored exactly by the
+    DuckDB oracle's generate_series.  All JVM-side (split + sequence +
+    slice + explode): the only data movement is the explode's row growth
+    (~n_words/stride rows per doc), no shuffle at all — chunking stays a
+    pure map stage at any corpus size."""
+    (d,) = load_tables(spark, sf, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    staged = d.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    ex = staged.select(
+        "doc_id", "ws", F.explode(starts).alias("start")
+    )
+    return ex.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice(F.col("ws"), F.col("start"), F.lit(CHUNK_WORDS))
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_WORDS), F.size("ws") - F.col("start") + 1
+        ).cast("long").alias("n_tokens"),
+    )
