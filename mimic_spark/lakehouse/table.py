@@ -272,7 +272,12 @@ class SnapshotTable:
         Resolved from snapshot props like schemas are — the count changes
         atomically with the rebucket commit, so a crashed or conflicted
         rebucket can never leave readers hashing with the wrong count."""
-        props = self.snapshot(version).props
+        return self._n_buckets_from(self.snapshot(version).props)
+
+    def _n_buckets_from(self, props: dict[str, Any]) -> int:
+        """The single resolution rule (snapshot prop, else table-create
+        meta) — shared by n_buckets_at and callers that already hold the
+        snapshot, so the rebucket rule can never drift between them."""
         if "n_buckets" in props:
             return int(props["n_buckets"])
         return int(self.table_meta["n_buckets"])
@@ -420,14 +425,10 @@ class SnapshotTable:
         kdf = self.spark.createDataFrame(keys, self.key_cols).select(
             *[F.col(c).cast(types[c]).alias(c) for c in self.key_cols]
         )
-        # same resolver as n_buckets_at: snapshot prop, else table-create
-        # meta — never the LATEST snapshot's count (after a rebucket, a
-        # time-travel lookup would hash keys under the wrong count)
-        n_buckets = int(
-            snap.props["n_buckets"]
-            if "n_buckets" in snap.props
-            else self.table_meta["n_buckets"]
-        )
+        # same resolver as n_buckets_at (shared helper): never the LATEST
+        # snapshot's count — after a rebucket, a time-travel lookup would
+        # hash keys under the wrong count
+        n_buckets = self._n_buckets_from(snap.props)
         # bloom-probe encoding: ts/date keys become epoch integers JVM-side
         # BEFORE collect — a collected datetime is naive session-local and
         # would diverge from the harvester's tz-aware pyarrow values (bloom

@@ -10,7 +10,11 @@ correctness gate.  Conventions that make the value-hash comparison stable:
   order-dependent across partitions);
 - ratios/averages derived from those integer sums with the same double
   division in both engines, rounded;
-- top-k queries carry a unique tiebreaker so ties can't reorder results.
+- top-k queries carry a unique tiebreaker so ties can't reorder results;
+- whitespace splitting: Java regex \\s includes \\x0B (vertical tab), RE2's
+  (DuckDB) does not — the synthetic corpus contains neither, so the legacy
+  oracles' \\s+ is safe there, but NEW oracles should use an explicit class
+  like '[ \\t\\n\\r\\f]+' on BOTH sides (chunk_documents is the model).
 """
 
 from __future__ import annotations

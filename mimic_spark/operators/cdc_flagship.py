@@ -80,8 +80,10 @@ def rollup_conv_incremental(spark: SparkSession, sf: str) -> DataFrame:
     roll = IncrementalConvRollup(
         spark, cdc.table_path, os.path.join(workdir, "conv_rollup")
     )
-    for i in range(len(chunks)):
-        run_batched(spark, cdc, chunks[: i + 1])
+    for i, chunk in enumerate(chunks):
+        # apply ONLY the new chunk: replaying the whole prefix would still
+        # converge (merge idempotence) but re-scan every prior batch
+        cdc.apply_batch(spark.read.parquet(chunk), i)
         roll.run_until_idle()
     return roll.read().orderBy("conv_id").select(
         "conv_id", "n_turns", "n_chars", F.col("src_version")

@@ -161,11 +161,10 @@ def _wav_decode_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
     import wave as _wave
 
     with _wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-        n = w.getnframes()
         rate = w.getframerate()
         ch = w.getnchannels()
         sw = w.getsampwidth()
-        raw = w.readframes(n)
+        raw = w.readframes(w.getnframes())
     if sw == 1:  # PCM_U8: unsigned, midpoint 128
         samples = [(b - 128) / 128.0 for b in raw]
     elif sw == 2:
@@ -185,11 +184,15 @@ def _wav_decode_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
     else:
         raise NotImplementedError(f"WAV sample width {sw} bytes")
     total = len(samples)
+    # frame count from the DECODED data, not the header: a truncated data
+    # chunk (header promises more frames than exist) must degrade to the
+    # frames actually present, never to an IndexError mid-Arrow-batch
+    n = total // ch if ch else 0
     return n, int(rate), [
         round(n / 64.0, 6),
         round(sum(abs(s) for s in samples) / total, 6) if total else 0.0,
         round(samples[0], 6) if total else 0.0,  # first frame, channel 0
-        round(samples[(n - 1) * ch], 6) if total else 0.0,  # last frame, ch 0
+        round(samples[(n - 1) * ch], 6) if n else 0.0,  # last frame, ch 0
     ]
 
 

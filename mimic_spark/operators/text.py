@@ -428,7 +428,7 @@ CHUNK_STRIDE = 48  # overlap = CHUNK_WORDS - CHUNK_STRIDE = 16 words
     family="training-data: sliding-window document chunking for context windows / embedding input (registers after the frozen 50-query window; value-checked by tools/check_correctness.py)",
     oracle=f"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws
   FROM documents
 ), s AS (
   SELECT doc_id, ws,
@@ -456,7 +456,7 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     (~n_words/stride rows per doc), no shuffle at all — chunking stays a
     pure map stage at any corpus size."""
     (d,) = load_tables(spark, sf, "documents")
-    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+")
     staged = d.select("doc_id", ws.alias("ws"))
     n = F.size("ws")
     starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))

@@ -117,10 +117,12 @@ class IncrementalConvRollup:
         )
 
     def _old_rows(self, diff: DataFrame, last_v: int) -> DataFrame:
-        """Changed keys' upstream rows AS OF the previous cursor version."""
-        empty = self.spark.createDataFrame(
-            [], self.upstream.snapshot(max(last_v, 0)).schema
-        )
+        """Changed keys' upstream rows AS OF the previous cursor version.
+
+        The empty frame borrows the DIFF's schema (already aligned to the
+        current snapshot) — never snapshot(0)'s, which upstream retention
+        may have expired by the time a fresh rollup attaches."""
+        empty = self.spark.createDataFrame([], diff.schema)
         if last_v < 0:
             return empty
         kdf = diff.select("conv_id", "turn_idx").distinct()
@@ -131,13 +133,27 @@ class IncrementalConvRollup:
             keys = [(r["conv_id"], r["turn_idx"]) for r in head]
             return self.upstream.read_for_keys(keys, version=last_v)
         # large batch: bucket-scoped scan of the pinned old version + a
-        # semi-join on the changed keys (no driver-side key list)
+        # semi-join on the changed keys (no driver-side key list).
+        # Keys are CAST TO THE PINNED SNAPSHOT'S TYPES before hashing —
+        # xxhash64 hashes int and bigint differently, so after a key-type
+        # widening in the (last_v, cur_v] window, current-schema values
+        # would hash to the wrong old buckets and silently miss every old
+        # value (the same guard files_for_keys implements for the point
+        # path)
+        old_snap = self.upstream.snapshot(last_v)
         nb = self.upstream.n_buckets_at(last_v)
+        old_types = {f.name: f.dataType for f in old_snap.schema.fields}
         from mimic_spark.functions.hashing import bucket_expr
 
+        kdf_old = kdf.select(
+            *[
+                F.col(c).cast(old_types[c]).alias(c)
+                for c in self.upstream.key_cols
+            ]
+        )
         buckets = sorted(
             r["_b"]
-            for r in kdf.select(
+            for r in kdf_old.select(
                 bucket_expr(self.upstream.key_cols, nb).alias("_b")
             )
             .distinct()
@@ -206,6 +222,10 @@ class IncrementalConvRollup:
             # zero-delta conversations (all-stale polls, compaction re-emits,
             # equal-length edits) change nothing — don't rewrite their rows
             .filter((F.col("d_turns") != 0) | (F.col("d_chars") != 0))
+            # eager materialization of the O(changed convs) result: the
+            # conv-id collect below AND the merge's write would otherwise
+            # each replay the whole O(batch) diff + old-value pipeline
+            .localCheckpoint()
         )
 
         convs = [r["conv_id"] for r in deltas.select("conv_id").collect()]

@@ -360,6 +360,12 @@ def test_wav_decode_real_bytes(spark):
     assert (n2, rate2) == (2, 44100)
     assert feats2[3] == round(16384 / 32768.0, 6)
 
+    # truncated data chunk (header promises 4 frames, 2 survive): decode
+    # degrades to the frames actually present — never an IndexError
+    trunc = mono[:-4]
+    nt, rt, ft = _decode_one(trunc)
+    assert (nt, rt) == (2, 8000) and ft[3] == 0.5
+
     # the same bytes through the full Spark Arrow path
     pdf = spark.createDataFrame(
         [(1, "audio", bytearray(mono)), (2, "audio", bytearray(stereo))],

@@ -135,6 +135,28 @@ def test_rollup_bucket_scan_path_matches_point_path(spark, tmp_table_dir):
         assert _materialized(roll) == _recompute(up)
 
 
+def test_rollup_cow_upstream_re_emits_zero_out(spark, tmp_table_dir):
+    """A COW upstream's merge rewrites whole buckets, so the version diff
+    re-emits every row of the touched buckets — the unchanged rows must
+    zero out in the delta join and the rollup must still converge (the
+    documented expensive-but-correct pairing)."""
+    spec = ChangelogSpec(n_events=1200, n_convs=30, n_chunks=3)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clrw")
+    )
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "uprw"), n_buckets=4, mode="cow"
+    )
+    roll = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rollrw"),
+        n_buckets=2,
+    )
+    for i in range(len(chunks)):
+        run_batched(spark, up, chunks[: i + 1])
+        roll.run_until_idle()
+        assert _materialized(roll) == _recompute(up), f"diverged at batch {i}"
+
+
 def test_rollup_survives_upstream_compaction(spark, tmp_table_dir):
     """Compaction rewrites every row into new files; the re-emitted
     unchanged rows must zero out (no delta) and the rollup must stay
