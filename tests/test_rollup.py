@@ -135,6 +135,75 @@ def test_rollup_bucket_scan_path_matches_point_path(spark, tmp_table_dir):
         assert _materialized(roll) == _recompute(up)
 
 
+def test_rollup_random_sequences_converge(spark):
+    """Property-based: random op sequences over a tiny colliding keyspace
+    (the test_merge_properties changelog strategy — permuted delivery,
+    duplicate deliveries, arbitrary batch splits), MoR upstream, rollup
+    polled after every batch; the materialized aggregates must equal a
+    full recompute of the live table at EVERY intermediate state.
+    max_point_keys=5 so examples exercise both old-value paths."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from test_merge_properties import BATCH_SCHEMA, SCHEMA, changelog
+
+    from mimic_spark.lakehouse.merge import ensure_internal_schema, merge_into
+    from mimic_spark.lakehouse.table import SnapshotTable
+    from mimic_spark.streaming.apply import dedup_batch
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=changelog())
+    def run(data):
+        events, batches = data
+        d = tempfile.mkdtemp(prefix="hyp_rollup_")
+        try:
+            t = SnapshotTable.create(
+                spark,
+                os.path.join(d, "t"),
+                ensure_internal_schema(SCHEMA),
+                ["conv_id", "turn_idx"],
+                n_buckets=2,
+            )
+            roll = IncrementalConvRollup(
+                spark, t.path, os.path.join(d, "roll"), n_buckets=2,
+                max_point_keys=5,
+            )
+            for i, batch in enumerate(batches):
+                if not batch:
+                    continue
+                df = spark.createDataFrame(
+                    [
+                        (e["lsn"], e["op"], e["conv_id"], e["turn_idx"], e["text"])
+                        for e in batch
+                    ],
+                    BATCH_SCHEMA,
+                )
+                merge_into(t, dedup_batch(df), batch_id=i, mode="mor")
+                roll.run_until_idle()
+                live = t.read().filter(
+                    ~F.coalesce(F.col("_deleted"), F.lit(False))
+                )
+                want = sorted(
+                    (r["conv_id"], r["n_turns"], r["n_chars"])
+                    for r in live.groupBy("conv_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_turns"),
+                        F.sum(F.length("text")).alias("n_chars"),
+                    )
+                    .collect()
+                )
+                assert _materialized(roll) == want, f"diverged at batch {i}"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run()
+
+
 def test_rollup_cow_upstream_re_emits_zero_out(spark, tmp_table_dir):
     """A COW upstream's merge rewrites whole buckets, so the version diff
     re-emits every row of the touched buckets — the unchanged rows must
