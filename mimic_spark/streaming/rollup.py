@@ -77,6 +77,8 @@ class IncrementalConvRollup:
         rollup_path: str,
         n_buckets: int = 16,
         max_point_keys: int = 10_000,
+        expire_every: int = 16,
+        keep_snapshots: int = 4,
     ):
         if not SnapshotTable.exists(upstream_path):
             raise FileNotFoundError(
@@ -85,6 +87,13 @@ class IncrementalConvRollup:
         self.spark = spark
         self.upstream = SnapshotTable(spark, upstream_path)
         self.max_point_keys = max_point_keys
+        # every poll commits one rollup snapshot; unbounded history is the
+        # same O(polls) metadata growth the CDC bookkeeping tables had
+        # (r4 verdict) — expire on a cadence, keeping a short time-travel
+        # window for downstream feeds tailing the rollup itself
+        self.expire_every = expire_every
+        self.keep_snapshots = keep_snapshots
+        self._polls_since_expire = 0
         if not SnapshotTable.exists(rollup_path):
             SnapshotTable.create(
                 spark,
@@ -276,6 +285,12 @@ class IncrementalConvRollup:
         )
         if result.skipped:
             return 0
+        self._polls_since_expire += 1
+        if self.expire_every and self._polls_since_expire >= self.expire_every:
+            from mimic_spark.lakehouse.maintenance import expire_snapshots
+
+            expire_snapshots(self.table, keep_last=self.keep_snapshots)
+            self._polls_since_expire = 0
         return len(convs)
 
     def run_until_idle(self, max_polls: int = 1000) -> int:

@@ -226,6 +226,40 @@ def test_rollup_cow_upstream_re_emits_zero_out(spark, tmp_table_dir):
         assert _materialized(roll) == _recompute(up), f"diverged at batch {i}"
 
 
+def test_rollup_snapshot_retention_bounded(spark, tmp_table_dir):
+    """Every poll commits a rollup snapshot; cadenced expiry must bound
+    the metadata and on-disk files while the state stays converged."""
+    spec = ChangelogSpec(n_events=1600, n_convs=30, n_chunks=8)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clre")
+    )
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "upre"), n_buckets=2,
+        mode="mor", compact_every=0,
+    )
+    roll = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rollre"),
+        n_buckets=2, expire_every=3, keep_snapshots=2,
+    )
+    for i in range(len(chunks)):
+        run_batched(spark, up, chunks[: i + 1])
+        roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)
+    # 8 data polls with expiry every 3: history bounded, never O(polls)
+    assert len(roll.table.versions()) <= 2 + 3
+    import os as _os
+
+    data_dir = os.path.join(roll.table.path, "data")
+    n_files = sum(
+        1 for _r, _d, fns in _os.walk(data_dir) for f in fns
+        if f.endswith(".parquet")
+    )
+    live = sum(1 for _ in roll.table.snapshot().files)
+    # expiry deleted the unreferenced generations (allow the retained
+    # time-travel window's worth of extras)
+    assert n_files <= live * (2 + 3)
+
+
 def test_rollup_survives_upstream_compaction(spark, tmp_table_dir):
     """Compaction rewrites every row into new files; the re-emitted
     unchanged rows must zero out (no delta) and the rollup must stay
