@@ -226,6 +226,86 @@ def test_rollup_cow_upstream_re_emits_zero_out(spark, tmp_table_dir):
         assert _materialized(roll) == _recompute(up), f"diverged at batch {i}"
 
 
+def test_rollup_bucket_path_across_rebucket_and_key_widening(spark, tmp_table_dir):
+    """The bucket-scoped old-value path must pin BOTH the bucket count and
+    the key TYPES to the previous cursor version: a rebucket re-hashes
+    files under a new count, and a key-type widening (int->long turn_idx
+    via merge schema evolution) makes current-schema values hash
+    differently under xxhash64 — either un-pinned would silently miss old
+    values and double-count deltas (r5 review finding).  max_point_keys=1
+    forces the bucket path on every poll."""
+    from pyspark.sql import types as T
+
+    from mimic_spark.lakehouse.maintenance import rebucket
+    from mimic_spark.lakehouse.merge import ensure_internal_schema, merge_into
+    from mimic_spark.lakehouse.table import SnapshotTable
+    from mimic_spark.streaming.apply import dedup_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "wide_up"),
+        ensure_internal_schema(schema),
+        ["conv_id", "turn_idx"],
+        n_buckets=2,
+    )
+    roll = IncrementalConvRollup(
+        spark, t.path, os.path.join(tmp_table_dir, "wide_roll"),
+        n_buckets=2, max_point_keys=1,
+    )
+
+    def recompute():
+        live = t.read().filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        )
+        return sorted(
+            (r["conv_id"], r["n_turns"], r["n_chars"])
+            for r in live.groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(F.length("text")).alias("n_chars"),
+            )
+            .collect()
+        )
+
+    b1 = spark.createDataFrame(
+        [(i, "update", f"c{i % 3}", i, f"text-{i}") for i in range(9)],
+        "lsn long, op string, conv_id string, turn_idx int, text string",
+    )
+    merge_into(t, dedup_batch(b1), batch_id=0, mode="mor")
+    roll.run_until_idle()
+    assert _materialized(roll) == recompute()
+
+    # rebucket between polls: the diff re-emits every row under the new
+    # count; zero deltas, state unchanged, bucket path hashes old keys
+    # under the OLD count
+    rebucket(t, 4)
+    before = _materialized(roll)
+    roll.run_until_idle()
+    assert _materialized(roll) == before == recompute()
+
+    # key-type widening: a batch with LONG turn_idx updates existing keys
+    # (longer text) and deletes one — old values live under the INT schema
+    b2 = spark.createDataFrame(
+        [
+            (10, "update", "c0", 0, "much-longer-replacement-text"),
+            (11, "delete", "c1", 1, None),
+            (12, "insert", "c2", 100, "brand-new-turn"),
+        ],
+        "lsn long, op string, conv_id string, turn_idx long, text string",
+    )
+    merge_into(t, dedup_batch(b2), batch_id=1, mode="mor")
+    assert isinstance(t.schema()["turn_idx"].dataType, T.LongType)
+    roll.run_until_idle()
+    assert _materialized(roll) == recompute()
+
+
 def test_rollup_snapshot_retention_bounded(spark, tmp_table_dir):
     """Every poll commits a rollup snapshot; cadenced expiry must bound
     the metadata and on-disk files while the state stays converged."""
