@@ -135,6 +135,40 @@ def test_rollup_bucket_scan_path_matches_point_path(spark, tmp_table_dir):
         assert _materialized(roll) == _recompute(up)
 
 
+def test_rollup_off_changefeed_derived_table(spark, tmp_table_dir):
+    """Depth-2 lake fan-out: source CDC table -> change-feed-derived mirror
+    -> rollup maintained off the MIRROR's feed.  Every hop is incremental;
+    after each upstream batch the rollup must equal the recompute of both
+    the mirror and the source."""
+    from mimic_spark.streaming.changefeed import ChangeFeedConsumer
+
+    spec = ChangelogSpec(n_events=1500, n_convs=40, n_chunks=3)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clr2")
+    )
+    src = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "srcr2"), n_buckets=2,
+        mode="mor", compact_every=0,
+    )
+    mid = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "midr2"), n_buckets=2,
+        mode="mor", compact_every=0,
+    )
+    feed = ChangeFeedConsumer(spark, src.table_path, mid)
+    roll = IncrementalConvRollup(
+        spark, mid.table_path, os.path.join(tmp_table_dir, "rollr2"),
+        n_buckets=2,
+    )
+    for i in range(len(chunks)):
+        run_batched(spark, src, chunks[: i + 1])
+        feed.run_until_idle()
+        roll.run_until_idle()
+        want = _recompute(mid)
+        assert _materialized(roll) == want == _recompute(src), (
+            f"diverged at batch {i}"
+        )
+
+
 def test_rollup_random_sequences_converge(spark):
     """Property-based: random op sequences over a tiny colliding keyspace
     (the test_merge_properties changelog strategy — permuted delivery,
