@@ -46,25 +46,154 @@ MAX_LEDGER_BACKFILL = 16
 
 
 class ChangeFeedConsumer:
-    """Tails `upstream`'s change feed into the `downstream` CDC table."""
+    """Tails `upstream`'s change feed into the `downstream` CDC table.
+
+    max_versions_per_poll / max_rows_per_poll bound each micro-batch (the
+    Structured Streaming ``maxOffsetsPerTrigger`` role): a consumer resuming
+    behind a large backlog drains it in bounded chunks instead of planning
+    one scan over the whole gap — at 10^10 events an unbounded catch-up
+    poll would be a full-table-sized batch that spills or OOMs, while N
+    bounded polls are exactly the micro-batches the steady-state path
+    already handles.  Both bounds are enforced from the driver-side
+    manifest walk (footer row counts) — no Spark job is spent planning.
+    A poll always advances at least one version, so progress is guaranteed
+    even when a single version exceeds max_rows_per_poll."""
 
     def __init__(
         self,
         spark: SparkSession,
         upstream_path: str,
         downstream: TranscriptCdc,
+        max_versions_per_poll: int | None = None,
+        max_rows_per_poll: int | None = None,
     ):
         if not SnapshotTable.exists(upstream_path):
             raise FileNotFoundError(
                 f"change-feed source: no snapshot table at {upstream_path!r}"
             )
+        if max_versions_per_poll is not None and max_versions_per_poll < 1:
+            raise ValueError("max_versions_per_poll must be >= 1")
+        if max_rows_per_poll is not None and max_rows_per_poll < 1:
+            raise ValueError("max_rows_per_poll must be >= 1")
         self.spark = spark
         self.upstream = SnapshotTable(spark, upstream_path)
         self.cdc = downstream
+        self.max_versions_per_poll = max_versions_per_poll
+        self.max_rows_per_poll = max_rows_per_poll
 
     def cursor(self) -> int:
         """Upstream snapshot version the downstream table is current to."""
         return int(self.cdc.table.props().get(CURSOR_PROP, -1))
+
+    def lag(self) -> dict:
+        """Feed lag, O(manifest): how far behind upstream this consumer is.
+
+        ``rows_behind`` is the footer-stat row sum of upstream data files
+        not yet covered by the cursor — an upper bound on rows the next
+        polls will scan (a compaction's rewritten files count as new, same
+        caveat as the incremental read itself).  No Spark job."""
+        last_v = self.cursor()
+        cur_v = self.upstream.latest_version()
+        if cur_v <= last_v:
+            return {
+                "cursor": last_v,
+                "latest_upstream_version": cur_v,
+                "versions_behind": 0,
+                "rows_behind": 0,
+                "files_behind": 0,
+            }
+        try:
+            _, new_files = self.upstream.changed_files(last_v, cur_v)
+        except FileNotFoundError:
+            new_files = list(self.upstream.snapshot(cur_v).files)
+        return {
+            "cursor": last_v,
+            "latest_upstream_version": cur_v,
+            "versions_behind": cur_v - max(last_v, -1),
+            "rows_behind": sum(int(f.get("rows") or 0) for f in new_files),
+            "files_behind": len(new_files),
+        }
+
+    def bootstrap(self) -> int:
+        """Initial snapshot load (the Debezium snapshot-then-stream role):
+        bulk-load the upstream's CURRENT resolved state as one batch and
+        set the cursor to that snapshot version, so tailing starts from
+        there instead of replaying all history version-by-version.
+
+        Two reasons this exists:
+        - a fresh consumer against an upstream whose early snapshots were
+          EXPIRED by retention cannot incremental-read from v-1 at all
+          (poll_once fails loud); the current snapshot is always readable;
+        - even with full history, replaying N versions of churn through N
+          merges does O(history) work for a result the current snapshot
+          already holds in O(live-rows).
+
+        Exactly-once: the cursor rides the same atomic commit as the merged
+        data (extra_props), so a crash either left nothing (rerun redoes
+        the load) or left a complete bootstrap (rerun returns 0).  Rows
+        carry their original upstream ``_lsn``, so a subsequent poll's
+        events interleave correctly under the merge's LSN staleness guard.
+        Returns rows loaded; 0 if the consumer already has a cursor."""
+        if self.cursor() >= 0:
+            return 0
+        snap_v = self.upstream.latest_version()
+        snap = self.upstream.snapshot(snap_v)
+        state = self.upstream._read_files(snap, snap.files, resolve=True)
+        if "_deleted" in state.columns:
+            state = state.filter(~F.col("_deleted"))
+        payload = [c for c in state.columns if not c.startswith("_")]
+        batch = state.select(
+            *payload,
+            (F.col("_lsn") if "_lsn" in state.columns else F.lit(0)).alias(
+                "lsn"
+            ),
+            F.lit("insert").alias("op"),
+        )
+        batch_id = self.cdc._ledger_hwm + 1
+        result = self.cdc.apply_batch(
+            batch, batch_id, extra_props={CURSOR_PROP: snap_v}
+        )
+        return int(result.rows_applied)
+
+    def _poll_target(self, last_v: int, cur_v: int) -> int:
+        """Largest to-version within this poll's bounds (driver-side only).
+
+        Walks the upstream manifests oldest-first, charging each version
+        the footer rows of files not seen at any earlier version (so a
+        compaction's carried-over files are charged once, like the read
+        itself).  Always returns at least the first available version past
+        the cursor — a single oversized version still gets applied alone
+        rather than stalling the feed."""
+        if self.max_versions_per_poll is None and self.max_rows_per_poll is None:
+            return cur_v
+        vs = [v for v in self.upstream.versions() if last_v < v <= cur_v]
+        if not vs:
+            return cur_v
+        if self.max_versions_per_poll is not None:
+            vs = vs[: self.max_versions_per_poll]
+        if self.max_rows_per_poll is None:
+            return vs[-1]
+        seen: set[str] = set()
+        if last_v >= 0:
+            try:
+                seen = {f["path"] for f in self.upstream.snapshot(last_v).files}
+            except FileNotFoundError:
+                pass  # poll_once fails loud on the actual diff read
+        target, rows = vs[0], 0
+        for v in vs:
+            new = [
+                f
+                for f in self.upstream.snapshot(v).files
+                if f["path"] not in seen
+            ]
+            rows += sum(int(f.get("rows") or 0) for f in new)
+            seen.update(f["path"] for f in new)
+            if rows > self.max_rows_per_poll and v != vs[0]:
+                break
+            target = v
+            if rows > self.max_rows_per_poll:
+                break
+        return target
 
     def poll_once(self) -> int:
         """Apply one micro-batch of upstream changes; returns rows applied.
@@ -82,6 +211,7 @@ class ChangeFeedConsumer:
         cur_v = self.upstream.latest_version()
         if cur_v <= last_v:
             return 0
+        cur_v = self._poll_target(last_v, cur_v)
         try:
             snap, new_files = self.upstream.changed_files(last_v, cur_v)
         except FileNotFoundError as e:

@@ -306,3 +306,108 @@ def test_changefeed_expired_cursor_fails_loud(spark, tmp_table_dir):
 
     with pytest.raises(RuntimeError, match="full backfill"):
         feed.poll_once()
+
+
+def test_changefeed_bounded_polls_drain_backlog(spark, tmp_table_dir):
+    """Backpressure (maxOffsetsPerTrigger role): a consumer resuming behind
+    a multi-version backlog drains it in bounded micro-batches — each poll
+    advances the cursor by at most max_versions_per_poll / ~max_rows_per_poll
+    — and still converges to the upstream's published state."""
+    spec = ChangelogSpec(n_events=3000, n_convs=60, n_chunks=5)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clb")
+    )
+    up = TranscriptCdc(spark, os.path.join(tmp_table_dir, "ub"), n_buckets=2)
+    run_batched(spark, up, chunks)  # full backlog before the consumer starts
+
+    down = TranscriptCdc(spark, os.path.join(tmp_table_dir, "db"), n_buckets=2)
+    feed = ChangeFeedConsumer(
+        spark, up.table_path, down, max_versions_per_poll=1
+    )
+    latest = up.table.latest_version()
+    polls = 0
+    while feed.cursor() < latest:
+        before = feed.cursor()
+        feed.poll_once()
+        after = feed.cursor()
+        assert after - max(before, -1) <= 1 or before < 0
+        # version-bounded: from a live cursor each poll moves exactly 1
+        if before >= 0:
+            assert after == before + 1
+        polls += 1
+        assert polls <= 100
+    assert polls > 1  # the backlog genuinely took multiple micro-batches
+    assert _published_state(down) == _published_state(up)
+
+    # rows-bounded variant: tiny cap -> many polls, same convergence;
+    # a single version larger than the cap still advances (no stall)
+    down2 = TranscriptCdc(spark, os.path.join(tmp_table_dir, "db2"), n_buckets=2)
+    feed2 = ChangeFeedConsumer(
+        spark, up.table_path, down2, max_rows_per_poll=200
+    )
+    lag0 = feed2.lag()
+    assert lag0["versions_behind"] > 0 and lag0["rows_behind"] > 0
+    polls2 = 0
+    while feed2.cursor() < latest:
+        feed2.poll_once()
+        polls2 += 1
+        assert polls2 <= 200
+    # each ~600-row version exceeds the 200-row cap, so every poll is
+    # clamped to exactly one version (the no-stall guarantee, exercised
+    # on every single poll here)
+    assert polls2 >= polls > 1
+    assert _published_state(down2) == _published_state(up)
+    assert feed2.lag() == {
+        "cursor": latest,
+        "latest_upstream_version": latest,
+        "versions_behind": 0,
+        "rows_behind": 0,
+        "files_behind": 0,
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ChangeFeedConsumer(spark, up.table_path, down2, max_versions_per_poll=0)
+
+
+def test_changefeed_bootstrap_then_tail(spark, tmp_table_dir):
+    """Snapshot-then-stream onboarding (the Debezium initial-snapshot role):
+    bootstrap bulk-loads the upstream's CURRENT resolved state in one
+    O(live-rows) batch — skipping per-version churn replay — sets the
+    cursor atomically, then incremental polls take over seamlessly."""
+    spec = ChangelogSpec(n_events=4000, n_convs=50, n_chunks=5)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clboot")
+    )
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "uboot"), n_buckets=2, mode="mor",
+        compact_every=0,
+    )
+    run_batched(spark, up, chunks[:4])  # history exists before the consumer
+
+    down = TranscriptCdc(spark, os.path.join(tmp_table_dir, "dboot"), n_buckets=2)
+    feed = ChangeFeedConsumer(
+        spark, up.table_path, down, max_versions_per_poll=1
+    )
+    loaded = feed.bootstrap()
+    live_rows = up.read_published().count()
+    assert loaded == live_rows  # O(live rows), not O(history events)
+    assert feed.cursor() == up.table.latest_version()
+    assert _published_state(down) == _published_state(up)
+
+    # idempotent: a second bootstrap (or a crash-rerun after the cursor
+    # committed) is a no-op, never a duplicate load
+    assert feed.bootstrap() == 0
+
+    # stream phase: later upstream changes flow through normal polls,
+    # interleaving correctly with bootstrapped rows under the LSN guard
+    run_batched(spark, up, chunks)
+    feed.run_until_idle()
+    assert _published_state(down) == _published_state(up)
+
+    # fresh-consumer resume derives everything from the table, sees idle
+    down2 = TranscriptCdc(spark, os.path.join(tmp_table_dir, "dboot"), n_buckets=2)
+    feed2 = ChangeFeedConsumer(spark, up.table_path, down2)
+    assert feed2.bootstrap() == 0
+    assert feed2.poll_once() == 0
