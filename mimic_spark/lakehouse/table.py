@@ -53,6 +53,12 @@ class CommitConflict(Exception):
     """Another writer committed this version first (optimistic concurrency)."""
 
 
+# Write-audit-publish (lakehouse/wap.py): a snapshot carrying this prop is
+# STAGED — invisible to default readers until published.  The Iceberg
+# spark.wap.id role (stage-commit -> audit -> cherry-pick publish).
+WAP_STAGED_PROP = "wap.staged"
+
+
 _NUMERIC_WIDTH = {
     "byte": 0,
     "short": 1,
@@ -295,6 +301,22 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshots in {self._log_dir}")
         return max(vs)
 
+    def current_version(self) -> int:
+        """Latest PUBLISHED version: the newest snapshot not carrying a
+        ``wap.staged`` marker (write-audit-publish; see lakehouse/wap.py).
+
+        For a table that never stages (every CDC/bookkeeping table) this is
+        ``latest_version()`` at the cost of one extra manifest read.  While
+        a WAP batch is staged, readers resolve here so unaudited data is
+        invisible until ``publish``."""
+        for v in sorted(self.versions(), reverse=True):
+            if WAP_STAGED_PROP not in self.snapshot(v).props:
+                return v
+        raise FileNotFoundError(
+            f"{self.path}: every retained snapshot is WAP-staged; "
+            f"publish or abort the staged batch"
+        )
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.latest_version() if version is None else version
         p = os.path.join(self._log_dir, f"v{v:012d}.json")
@@ -363,8 +385,12 @@ class SnapshotTable:
         MoR merges instead of rewriting buckets), the read resolves each key
         to its highest-``_lsn`` row (Iceberg/Hudi MoR semantics).  Tombstones
         survive resolution; published readers filter ``_deleted``.
+
+        version=None resolves to the latest PUBLISHED snapshot — a staged
+        write-audit-publish batch is invisible here until published (audit
+        it by passing its staged version explicitly).
         """
-        snap = self.snapshot(version)
+        snap = self.snapshot(self.current_version() if version is None else version)
         files = snap.files
         if buckets is not None:
             bset = set(buckets)
@@ -619,7 +645,21 @@ class SnapshotTable:
         schema: T.StructType | None = None,
         props_update: dict[str, Any] | None = None,
     ) -> Snapshot:
-        """Commit a new snapshot on top of ``base`` (raises CommitConflict)."""
+        """Commit a new snapshot on top of ``base`` (raises CommitConflict).
+
+        A ``props_update`` value of None DELETES the key (snapshot props are
+        otherwise inherited wholesale from ``base``).  Committing on top of
+        a WAP-staged base without addressing the marker raises: inheriting
+        ``wap.staged`` silently would make this commit's data invisible to
+        readers forever (only lakehouse/wap.py commits pass the marker)."""
+        if WAP_STAGED_PROP in base.props and WAP_STAGED_PROP not in (
+            props_update or {}
+        ):
+            raise CommitConflict(
+                f"{self.path}: base snapshot v{base.version} is WAP-staged "
+                f"(wap_id={base.props[WAP_STAGED_PROP]!r}); publish or "
+                f"abort the staged batch before committing over it"
+            )
         schemas = dict(base.schemas)
         schema_id = base.schema_id
         if schema is not None and schema != base.schema:
@@ -627,6 +667,7 @@ class SnapshotTable:
             schemas[schema_id] = schema
         props = dict(base.props)
         props.update(props_update or {})
+        props = {k: v for k, v in props.items() if v is not None}
         return self._commit_snapshot(
             version=base.version + 1,
             op=op,
@@ -872,7 +913,12 @@ class SnapshotTable:
 
     # ---------- convenience batch ops ----------
 
-    def append(self, df: DataFrame, op: str = "append") -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        op: str = "append",
+        props_update: dict[str, Any] | None = None,
+    ) -> Snapshot:
         base = self.snapshot()
         df = self.translate_renamed(df, base)
         schema = evolve_schema(base.schema, df.schema)
@@ -880,9 +926,20 @@ class SnapshotTable:
         new_files = self.write_data_files(self._align(df, schema), base.version + 1)
         for fe in new_files:
             fe["schema_id"] = sid
-        return self.commit(base=base, op=op, files=base.files + new_files, schema=schema)
+        return self.commit(
+            base=base,
+            op=op,
+            files=base.files + new_files,
+            schema=schema,
+            props_update=props_update,
+        )
 
-    def overwrite(self, df: DataFrame, op: str = "overwrite") -> Snapshot:
+    def overwrite(
+        self,
+        df: DataFrame,
+        op: str = "overwrite",
+        props_update: dict[str, Any] | None = None,
+    ) -> Snapshot:
         base = self.snapshot()
         df = self.translate_renamed(df, base)
         schema = evolve_schema(base.schema, df.schema)
@@ -890,4 +947,37 @@ class SnapshotTable:
         sid = base.schema_id if schema == base.schema else max(base.schemas) + 1
         for fe in new_files:
             fe["schema_id"] = sid
-        return self.commit(base=base, op=op, files=new_files, schema=schema)
+        return self.commit(
+            base=base, op=op, files=new_files, schema=schema, props_update=props_update
+        )
+
+    def rollback_to(self, version: int) -> Snapshot:
+        """Metadata-only rollback (Iceberg ``rollback_to_snapshot``): commit
+        a NEW snapshot restoring ``version``'s files and schema — history
+        is never rewritten, so time travel to the bad window still works
+        and a change-feed consumer that already passed it stays consistent
+        (the restored files are not new to it; the bad files never appear
+        in any later snapshot, so post-rollback polls simply skip them).
+
+        The abandoned files stay on disk until ``remove_orphan_files``."""
+        target = self.snapshot(version)
+        if WAP_STAGED_PROP in target.props:
+            raise ValueError(
+                f"cannot roll back to v{version}: it is a WAP-staged "
+                f"snapshot (never published)"
+            )
+        base = self.snapshot()
+        # restore the target's props WHOLESALE (None-valued updates delete
+        # inherited keys): props are version-scoped table state — keeping
+        # the latest n_buckets / renames / cursors over the restored files
+        # would mis-hash buckets and desync consumers
+        props_restore: dict[str, Any] = {k: None for k in base.props}
+        props_restore.update(target.props)
+        props_restore.setdefault(WAP_STAGED_PROP, None)
+        return self.commit(
+            base=base,
+            op=f"rollback_to_v{version}",
+            files=target.files,
+            schema=target.schema,
+            props_update=props_restore,
+        )

@@ -88,3 +88,70 @@ def rollup_conv_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return roll.read().orderBy("conv_id").select(
         "conv_id", "n_turns", "n_chars", F.col("src_version")
     )
+
+
+@register(
+    "wap_publish_pipeline",
+    family="lakehouse: write-audit-publish staged ingest (stage -> audit -> publish/abort, Iceberg spark.wap.id role)",
+    oracle=None,  # multi-commit metadata pipeline; invisibility/publish/
+    # abort/GC semantics are asserted in tests/test_wap.py
+)
+def wap_publish_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish demo (r5): CDC-ingest a changelog, then stage a
+    suspicious batch invisibly, audit it (reject -> abort), stage a clean
+    batch, audit it (accept -> metadata-only publish), and return the
+    published table — which tests/test_wap.py proves never exposed staged
+    or aborted rows to default readers or change-feed consumers."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mimic_spark.lakehouse import wap
+
+    workdir = tempfile.mkdtemp(prefix="mimic_spark_wap_")
+    spec = ChangelogSpec(n_events=4000, n_convs=100, n_chunks=3)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(workdir, "changelog")
+    )
+    cdc = TranscriptCdc(spark, os.path.join(workdir, "transcripts"))
+    run_batched(spark, cdc, chunks)
+    t = cdc.table
+    wm = cdc.high_watermark()
+    row_schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, _lsn long, _deleted boolean"
+    )
+    # batch 1: empty text rows -> audit rejects -> abort (files orphaned)
+    bad = spark.createDataFrame(
+        [("wap_bad", i, "user", "", None, None, wm + 1 + i, False)
+         for i in range(3)],
+        row_schema,
+    )
+    wap.stage(t, bad, "audit-reject")
+    try:
+        wap.publish(
+            t, "audit-reject",
+            audit=lambda df: (_ for _ in ()).throw(
+                ValueError("empty text rows")
+            ) if df.filter(
+                (F.col("conv_id") == "wap_bad") & (F.col("text") == "")
+            ).count() > 0 else None,
+        )
+    except wap.StagedAuditError:
+        wap.abort(t, "audit-reject")
+    # batch 2: clean rows -> audit passes -> published atomically
+    good = spark.createDataFrame(
+        [("wap_ok", i, "assistant", f"audited turn {i}", None, None,
+          wm + 10 + i, False) for i in range(3)],
+        row_schema,
+    )
+    wap.stage(t, good, "audit-accept")
+    wap.publish(
+        t, "audit-accept",
+        audit=lambda df: None if df.filter(
+            (F.col("conv_id") == "wap_ok") & (F.col("text") == "")
+        ).count() == 0 else (_ for _ in ()).throw(ValueError("empty text")),
+    )
+    return cdc.read_published().select(
+        "conv_id", "turn_idx", "role", "text"
+    )

@@ -93,7 +93,7 @@ class ChangeFeedConsumer:
         polls will scan (a compaction's rewritten files count as new, same
         caveat as the incremental read itself).  No Spark job."""
         last_v = self.cursor()
-        cur_v = self.upstream.latest_version()
+        cur_v = self.upstream.current_version()
         if cur_v <= last_v:
             return {
                 "cursor": last_v,
@@ -136,7 +136,7 @@ class ChangeFeedConsumer:
         Returns rows loaded; 0 if the consumer already has a cursor."""
         if self.cursor() >= 0:
             return 0
-        snap_v = self.upstream.latest_version()
+        snap_v = self.upstream.current_version()
         snap = self.upstream.snapshot(snap_v)
         state = self.upstream._read_files(snap, snap.files, resolve=True)
         if "_deleted" in state.columns:
@@ -166,7 +166,17 @@ class ChangeFeedConsumer:
         rather than stalling the feed."""
         if self.max_versions_per_poll is None and self.max_rows_per_poll is None:
             return cur_v
-        vs = [v for v in self.upstream.versions() if last_v < v <= cur_v]
+        from mimic_spark.lakehouse.table import WAP_STAGED_PROP
+
+        # never pin a WAP-staged version as a poll target: a staged-then-
+        # ABORTED snapshot's files appear in no published snapshot, and
+        # reading one mid-walk would leak unpublished data downstream
+        vs = [
+            v
+            for v in self.upstream.versions()
+            if last_v < v <= cur_v
+            and WAP_STAGED_PROP not in self.upstream.snapshot(v).props
+        ]
         if not vs:
             return cur_v
         if self.max_versions_per_poll is not None:
@@ -208,7 +218,10 @@ class ChangeFeedConsumer:
         once per poll (r4 verdict: the old emptiness probe ran a second
         count() job over the same diff)."""
         last_v = self.cursor()
-        cur_v = self.upstream.latest_version()
+        # published-only consumption: a WAP-staged upstream snapshot is
+        # invisible to the feed until published (and an aborted one NEVER
+        # reaches downstream — its files appear in no published snapshot)
+        cur_v = self.upstream.current_version()
         if cur_v <= last_v:
             return 0
         cur_v = self._poll_target(last_v, cur_v)
@@ -297,6 +310,6 @@ class ChangeFeedConsumer:
         for _ in range(max_polls):
             n = self.poll_once()
             total += n
-            if n == 0 and self.cursor() >= self.upstream.latest_version():
+            if n == 0 and self.cursor() >= self.upstream.current_version():
                 return total
         raise RuntimeError(f"change feed still busy after {max_polls} polls")

@@ -177,7 +177,7 @@ class IncrementalConvRollup:
         """Fold one upstream version window into the rollup; returns the
         number of conversations whose aggregates changed."""
         last_v = self.cursor()
-        cur_v = self.upstream.latest_version()
+        cur_v = self.upstream.current_version()
         if cur_v <= last_v:
             return 0
         try:
@@ -298,7 +298,7 @@ class IncrementalConvRollup:
         for _ in range(max_polls):
             n = self.poll_once()
             total += n
-            if n == 0 and self.cursor() >= self.upstream.latest_version():
+            if n == 0 and self.cursor() >= self.upstream.current_version():
                 return total
         raise RuntimeError(f"rollup still busy after {max_polls} polls")
 
