@@ -197,9 +197,15 @@ class TranscriptCdc:
         if result.mode == "mor" and not result.skipped:
             self._mor_batches += 1
             if self.compact_every and self._mor_batches % self.compact_every == 0:
-                from mimic_spark.lakehouse.maintenance import compact
+                # bucket-level incremental: rewrite only buckets whose
+                # delta backlog justifies it — amortized O(deltas), not
+                # O(table) per cadence (full `compact` stays available as
+                # an explicit maintenance action)
+                from mimic_spark.lakehouse.maintenance import (
+                    compact_incremental,
+                )
 
-                compact(self.table)
+                compact_incremental(self.table)
         if not result.skipped:
             # The ledger/metrics tables gain one commit + one tiny file per
             # batch; without maintenance that is O(batches) manifest+file

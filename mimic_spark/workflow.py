@@ -414,11 +414,24 @@ class Workflow:
         out: dict[str, Any] = {}
         c = _opt("compact")
         if c is not None:
-            out["compact"] = compact(
-                t,
-                gc_tombstones_below=c.get("gc_tombstones_below"),
-                sort_cols=c.get("sort_cols"),
-            )
+            if c.get("incremental"):
+                from mimic_spark.lakehouse.maintenance import (
+                    compact_incremental,
+                )
+
+                out["compact"] = compact_incremental(
+                    t,
+                    min_files=int(c.get("min_files", 4)),
+                    min_delta_ratio=float(c.get("min_delta_ratio", 0.25)),
+                    gc_tombstones_below=c.get("gc_tombstones_below"),
+                    sort_cols=c.get("sort_cols"),
+                )
+            else:
+                out["compact"] = compact(
+                    t,
+                    gc_tombstones_below=c.get("gc_tombstones_below"),
+                    sort_cols=c.get("sort_cols"),
+                )
         e = _opt("expire_snapshots")
         if e is not None:
             out["expire_snapshots"] = expire_snapshots(

@@ -1006,3 +1006,88 @@ def test_orphan_gc_and_expiry_leave_inflight_writers_alone(spark, tmp_table_dir)
     assert not any(os.path.exists(p) for p in orphan_paths)
     assert {r["conv_id"] for r in t.read().collect()} == {"a", "b"}
     assert remove_orphan_files(t, older_than_s=0)["removed_orphan_files"] == 0
+
+
+def test_compact_incremental_rewrites_only_dirty_buckets(spark, tmp_table_dir):
+    """Bucket-level incremental compaction: under hot-key skew only the
+    buckets with delta backlog are rewritten — clean buckets' files are
+    carried into the new snapshot byte-identical — and the resolved state
+    is unchanged.  The amortized-O(deltas) property that makes a cadenced
+    compaction survive a 10^10-event stream."""
+    from mimic_spark.lakehouse.maintenance import compact_incremental
+
+    spec = ChangelogSpec(n_events=2000, n_convs=80, n_chunks=2)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "cl")
+    )
+    cdc = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "t"), n_buckets=8, mode="mor",
+        compact_every=0,
+    )
+    run_batched(spark, cdc, chunks)
+    compact(cdc.table)  # start clean: one file per bucket
+
+    # hot skew: a few conversations take all the updates -> deltas land in
+    # (at most) a few buckets
+    hot = [r["conv_id"] for r in
+           cdc.read_published().select("conv_id").distinct().limit(2).collect()]
+    wm = cdc.high_watermark()
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp, lsn long, op string")
+    bid = int(cdc.table.props()["last_batch_id"])
+    for j in range(4):
+        rows = [(c, t, "user", f"hot rev {j}", None, None,
+                 wm + 1 + j * 10 + i, "update")
+                for i, c in enumerate(hot) for t in (1, 2)]
+        cdc.apply_batch(spark.createDataFrame(rows, schema), bid + 1 + j)
+
+    before_state = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in cdc.read_published().collect()
+    )
+    base = cdc.table.snapshot()
+    clean_paths = {
+        f["path"] for f in base.files
+        if len([g for g in base.files if g["bucket"] == f["bucket"]]) == 1
+    }
+    assert clean_paths  # some buckets never saw a delta
+
+    res = compact_incremental(cdc.table)
+    assert 0 < res["buckets_rewritten"] < 8
+    after = cdc.table.snapshot()
+    # clean buckets carried over untouched; dirty buckets now 1 file each
+    assert clean_paths <= {f["path"] for f in after.files}
+    per_bucket: dict[int, int] = {}
+    for f in after.files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+    # rewrote only the dirty slice, not the table
+    total_rows = sum(int(f["rows"]) for f in after.files)
+    assert res["rows_rewritten"] < total_rows
+    after_state = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in cdc.read_published().collect()
+    )
+    assert after_state == before_state
+
+    # immediately again: nothing qualifies, no commit at all
+    v = cdc.table.latest_version()
+    res2 = compact_incremental(cdc.table)
+    assert res2["buckets_rewritten"] == 0
+    assert cdc.table.latest_version() == v
+
+    # tombstone GC inside rewritten buckets only
+    victim = before_state[0]
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [(victim[0], victim[1], "user", "", None, None,
+              cdc.high_watermark() + 1, "delete")], schema),
+        int(cdc.table.props()["last_batch_id"]) + 1,
+    )
+    res3 = compact_incremental(
+        cdc.table, min_files=2, gc_tombstones_below=cdc.high_watermark()
+    )
+    assert res3["tombstones_dropped"] >= 1
+    assert (victim[0], victim[1]) not in {
+        (r["conv_id"], r["turn_idx"]) for r in cdc.read_published().collect()
+    }
