@@ -66,9 +66,45 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("inserts", T.LongType(), True),
         T.StructField("updates", T.LongType(), True),
         T.StructField("deletes", T.LongType(), True),
+        T.StructField("rejects", T.LongType(), True),
         T.StructField("run_id", T.StringType(), True),
     ]
 )
+
+
+REJECTS_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("reject_reason", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), True),
+        # the raw event as JSON: the DLQ schema never has to evolve with
+        # the stream (Debezium dead-letter-topic convention — raw payload
+        # + error, replayable after a fix)
+        T.StructField("event", T.StringType(), True),
+        T.StructField("run_id", T.StringType(), True),
+    ]
+)
+
+VALID_OPS = ("insert", "update", "delete")
+
+
+def invalid_reason(
+    keys: list[str] = KEYS, lsn_col: str = "lsn", op_col: str = "op"
+) -> F.Column:
+    """NULL for a well-formed change event; else the (first) reason it is
+    structurally unusable: a NULL key can't be merged, a NULL LSN can't be
+    ordered, an unknown op can't be applied.  Pure column expression —
+    rides whatever scan already reads the batch."""
+    cond = F.lit(None).cast("string")
+    for k in reversed(keys):
+        cond = F.when(F.col(k).isNull(), F.lit(f"null key: {k}")).otherwise(
+            cond
+        )
+    return (
+        F.when(F.col(lsn_col).isNull(), F.lit("null lsn"))
+        .when(~F.col(op_col).isin(*VALID_OPS), F.concat(F.lit("bad op: "), F.coalesce(F.col(op_col), F.lit("NULL"))))
+        .otherwise(cond)
+    )
 
 
 def dedup_batch(
@@ -135,6 +171,16 @@ class TranscriptCdc:
             SnapshotTable.create(sp, mp, METRICS_SCHEMA, ["batch_id", "partition_id"], 1)
         self.ledger = SnapshotTable(sp, lp)
         self.metrics = SnapshotTable(sp, mp)
+        # dead-letter queue: structurally unusable events (null key/LSN,
+        # unknown op) quarantined per batch instead of silently merged or
+        # crashing the stream.  Created lazily on first reject — a clean
+        # stream never pays for it (not even a directory).
+        self._rejects_path = p + "_rejects"
+        self._rejects: SnapshotTable | None = (
+            SnapshotTable(sp, self._rejects_path)
+            if SnapshotTable.exists(self._rejects_path)
+            else None
+        )
         # single-writer high-watermark of recorded batch ids: avoids a ledger
         # read per batch AND stays O(1) in driver memory over a 10^10-event
         # stream's lifetime (batch ids are monotone in both run_batched and
@@ -146,25 +192,40 @@ class TranscriptCdc:
     # ------------------------------------------------------------- pipeline
 
     def prepare(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(deduped+normalized source, per-bucket lineage pre-agg)."""
+        """(deduped+normalized VALID source, per-bucket lineage pre-agg).
+
+        Malformed events (null key/LSN, unknown op) are excluded from the
+        merge input and COUNTED per bucket in the same lineage aggregation
+        the pipeline already runs — so reject detection costs zero extra
+        jobs; the reject ROWS are only scanned (and quarantined) by
+        apply_batch when that counter is non-zero."""
         drop = [c for c in ("batch_hint",) if c in batch.columns]
         src = batch.drop(*drop) if drop else batch
-        deduped = dedup_batch(src)
+        bad = invalid_reason().isNotNull()
+        deduped = dedup_batch(src.filter(~bad))
         if self.normalize_col in deduped.columns:
             deduped = deduped.withColumn(
                 self.normalize_col, normalize_text_udf(F.col(self.normalize_col))
             )
+        valid = ~bad
+
+        def _op(name: str) -> F.Column:
+            return F.sum(
+                F.when(valid & (F.col("op") == name), 1).otherwise(0)
+            ).alias(name + "s")
+
         lineage = (
             src.withColumn("_bucket", self.table.bucket_col())
             .groupBy("_bucket")
             .agg(
-                F.min("lsn").alias("lsn_lo"),
-                F.max("lsn").alias("lsn_hi"),
+                F.min(F.when(valid, F.col("lsn"))).alias("lsn_lo"),
+                F.max(F.when(valid, F.col("lsn"))).alias("lsn_hi"),
                 F.count(F.lit(1)).alias("rows_in"),
                 F.count_distinct(*[F.col(k) for k in KEYS]).alias("rows_deduped"),
-                F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("inserts"),
-                F.sum(F.when(F.col("op") == "update", 1).otherwise(0)).alias("updates"),
-                F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+                _op("insert"),
+                _op("update"),
+                _op("delete"),
+                F.sum(F.when(bad, 1).otherwise(0)).alias("rejects"),
             )
         )
         return deduped, lineage
@@ -184,7 +245,17 @@ class TranscriptCdc:
         # one pass over the source yields BOTH the per-bucket lineage rows and
         # the affected-bucket list for merge pruning (no separate distinct job)
         lineage_rows = lineage.collect()
-        affected = sorted(r["_bucket"] for r in lineage_rows)
+        # merge only buckets holding at least one VALID row (a bucket whose
+        # rows were all rejected has nothing to apply)
+        affected = sorted(
+            r["_bucket"]
+            for r in lineage_rows
+            if r["_bucket"] is not None
+            and int(r["rows_in"]) - int(r["rejects"] or 0) > 0
+        )
+        n_rejects = sum(int(r["rejects"] or 0) for r in lineage_rows)
+        if n_rejects:
+            self._quarantine(batch, batch_id, n_rejects)
         result = merge_into(
             self.table,
             deduped,
@@ -227,6 +298,49 @@ class TranscriptCdc:
                     expire_snapshots(t, keep_last=2)
         return result
 
+    def _quarantine(self, batch: DataFrame, batch_id: int, n: int) -> None:
+        """Append this batch's malformed events to the dead-letter table.
+
+        Exactly-once: the DLQ's own ``last_batch_id`` prop rides the same
+        append commit, so a replayed batch (crash anywhere after this
+        commit) skips quarantine instead of duplicating rows.  Events are
+        stored as raw JSON + reason — the DLQ schema never evolves, and a
+        fixed producer can re-emit the payloads under fresh LSNs."""
+        if self._rejects is None:
+            if not SnapshotTable.exists(self._rejects_path):
+                SnapshotTable.create(
+                    self.spark,
+                    self._rejects_path,
+                    REJECTS_SCHEMA,
+                    ["batch_id"],
+                    1,
+                )
+            self._rejects = SnapshotTable(self.spark, self._rejects_path)
+        if int(self._rejects.props().get("last_batch_id", -1)) >= batch_id:
+            return  # replay after a crash: already quarantined
+        drop = [c for c in ("batch_hint",) if c in batch.columns]
+        src = batch.drop(*drop) if drop else batch
+        reason = invalid_reason()
+        rej = src.filter(reason.isNotNull()).select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            reason.alias("reject_reason"),
+            F.col("lsn").cast("long").alias("lsn"),
+            F.to_json(F.struct(*src.columns)).alias("event"),
+            F.lit(self.run_id).alias("run_id"),
+        )
+        self._rejects.append(
+            rej, op="quarantine", props_update={"last_batch_id": int(batch_id)}
+        )
+
+    def read_rejects(self) -> DataFrame:
+        """The dead-letter queue (empty DataFrame if nothing was ever
+        rejected — the table itself is created lazily)."""
+        if self._rejects is None and SnapshotTable.exists(self._rejects_path):
+            self._rejects = SnapshotTable(self.spark, self._rejects_path)
+        if self._rejects is None:
+            return self.spark.createDataFrame([], REJECTS_SCHEMA)
+        return self._rejects.read()
+
     def _record(self, batch_id: int, result: MergeResult, lineage_rows) -> None:
         if batch_id <= self._ledger_hwm:
             return
@@ -248,14 +362,17 @@ class TranscriptCdc:
                 mrows = [
                     (
                         int(batch_id),
-                        int(r["_bucket"]),
-                        int(r["lsn_lo"]),
-                        int(r["lsn_hi"]),
+                        # bucket is None only when every key col was NULL
+                        # (rejected rows); ledger them under partition -1
+                        -1 if r["_bucket"] is None else int(r["_bucket"]),
+                        None if r["lsn_lo"] is None else int(r["lsn_lo"]),
+                        None if r["lsn_hi"] is None else int(r["lsn_hi"]),
                         int(r["rows_in"]),
                         int(r["rows_deduped"]),
                         int(r["inserts"]),
                         int(r["updates"]),
                         int(r["deletes"]),
+                        int(r["rejects"] or 0),
                         self.run_id,
                     )
                     for r in lineage_rows
