@@ -452,16 +452,26 @@ def run_batched(
     cdc: TranscriptCdc,
     chunk_paths: list[str],
     schema: T.StructType | None = None,
+    source: str = "parquet",
 ) -> list[MergeResult]:
     """Batch-replay mode: apply pre-materialized chunks in delivery order.
 
     Used by tests and the replay oracle; the streaming mode in cdc.py drives
-    the same apply_batch through foreachBatch.
+    the same apply_batch through foreachBatch.  source: "parquet" (columnar
+    chunks) or "wal_json" (Debezium-style JSON envelope lines).
     """
     results = []
     for i, p in enumerate(chunk_paths):
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        results.append(cdc.apply_batch(reader.parquet(p), i))
+        if source == "wal_json":
+            from mimic_spark.sources.wal_json import read_wal_json
+
+            batch = read_wal_json(spark, p)
+        elif source == "parquet":
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            batch = reader.parquet(p)
+        else:
+            raise ValueError(f"unknown changelog source: {source!r}")
+        results.append(cdc.apply_batch(batch, i))
     return results

@@ -52,11 +52,15 @@ def run_stream(
     fail_after: int | None = None,
     mode: str = "cow",
     compact_every: int = 8,
+    source: str = "parquet",
 ) -> TranscriptCdc:
     """Process all currently-available changelog files, then stop
     (availableNow trigger). Re-invoke with the same checkpoint_dir to resume.
 
     fail_after: test hook — raise after N successful batches (crash drill).
+    source: "parquet" (columnar chunks) or "wal_json" (Debezium-style JSON
+    envelope lines, decoded JVM-side by sources/wal_json.py — malformed
+    lines surface as DLQ rows instead of killing the stream).
     """
     cdc = TranscriptCdc(
         spark, table_path, n_buckets=n_buckets, mode=mode, compact_every=compact_every
@@ -69,11 +73,22 @@ def run_stream(
         cdc.apply_batch(batch_df, batch_id)
         state["applied"] += 1
 
-    stream = (
-        spark.readStream.schema(CHANGELOG_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(changelog_glob)
-    )
+    if source == "wal_json":
+        from mimic_spark.sources.wal_json import parse_wal_envelope
+
+        stream = parse_wal_envelope(
+            spark.readStream.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            ).text(changelog_glob)
+        )
+    elif source == "parquet":
+        stream = (
+            spark.readStream.schema(CHANGELOG_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(changelog_glob)
+        )
+    else:
+        raise ValueError(f"unknown changelog source: {source!r}")
     q = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
