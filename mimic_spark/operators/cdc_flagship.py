@@ -86,7 +86,7 @@ def rollup_conv_incremental(spark: SparkSession, sf: str) -> DataFrame:
         cdc.apply_batch(spark.read.parquet(chunk), i)
         roll.run_until_idle()
     return roll.read().orderBy("conv_id").select(
-        "conv_id", "n_turns", "n_chars", F.col("src_version")
+        "conv_id", "n_turns", "n_chars", "max_ts", F.col("src_version")
     )
 
 

@@ -22,11 +22,21 @@ ever reads:
 - the touched conversations' CURRENT rollup rows (point lookup on the
   rollup table, keyed by conv_id).
 
-Only SELF-MAINTAINABLE aggregates are materialized (counts and sums:
-``n_turns``, ``n_chars``; plus the monotone ``src_version``).  MIN/MAX
-over mutable rows are deliberately excluded — a delete can lower a max,
-which delta maintenance cannot see without the full group; compute those
-on read, or maintain them against an append-only stream.
+Counts and sums (``n_turns``, ``n_chars``) are fully self-maintainable.
+MAX over mutable rows is NOT — a delete can retract the current maximum,
+which delta algebra cannot see without the full group — so ``max_ts`` is
+maintained with the classic **reserve** technique (Materialize-style
+"monoid with a reserve"; top-K): each rollup row carries the top
+``reserve_k`` live turns by ts as ``ts_reserve: array<struct<ts,
+turn_idx>>``.  Invariant: every live turn NOT in the reserve has
+ts <= every reserve entry's ts (entries are only ever dropped from the
+sorted tail), so ``max_ts = ts_reserve[0].ts`` stays EXACT through any
+sequence of updates/deletes while the reserve is non-empty.  A
+conversation only needs recomputation when deletes exhaust its whole
+reserve (>= reserve_k of its top turns retracted) — then, and only then,
+the poll scans the upstream once (column-pruned, semi-joined on the
+handful of underflowed conversations) and refills their reserves to full
+depth.  MIN would be the mirror-image reserve; it is left on-read.
 
 Exactly-once: the rollup MERGE commit atomically carries both the batch
 marker (batch_id = upstream version, monotone) and the cursor property,
@@ -53,11 +63,23 @@ from mimic_spark.lakehouse.table import SnapshotTable
 
 CURSOR_PROP = "rollup_src_version"
 
+RESERVE_ENTRY = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), True),
+        # canonically LONG, independent of the upstream key's width: the
+        # reserve must keep its schema when the upstream widens turn_idx
+        # (array element types don't evolve)
+        T.StructField("turn_idx", T.LongType(), True),
+    ]
+)
+
 ROLLUP_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("n_turns", T.LongType(), True),
         T.StructField("n_chars", T.LongType(), True),
+        T.StructField("max_ts", T.TimestampType(), True),
+        T.StructField("ts_reserve", T.ArrayType(RESERVE_ENTRY), True),
         T.StructField("src_version", T.LongType(), True),
     ]
 )
@@ -79,6 +101,7 @@ class IncrementalConvRollup:
         max_point_keys: int = 10_000,
         expire_every: int = 16,
         keep_snapshots: int = 4,
+        reserve_k: int = 8,
     ):
         if not SnapshotTable.exists(upstream_path):
             raise FileNotFoundError(
@@ -87,6 +110,9 @@ class IncrementalConvRollup:
         self.spark = spark
         self.upstream = SnapshotTable(spark, upstream_path)
         self.max_point_keys = max_point_keys
+        # reserve depth for max_ts: a conversation absorbs up to reserve_k
+        # top-turn deletions locally before one targeted upstream refill
+        self.reserve_k = reserve_k
         # every poll commits one rollup snapshot; unbounded history is the
         # same O(polls) metadata growth the CDC bookkeeping tables had
         # (r4 verdict) — expire on a cadence, keeping a short time-travel
@@ -94,6 +120,8 @@ class IncrementalConvRollup:
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
         self._polls_since_expire = 0
+        # observability: how many polls needed an upstream reserve refill
+        self.reserve_refills = 0
         if not SnapshotTable.exists(rollup_path):
             SnapshotTable.create(
                 spark,
@@ -123,6 +151,14 @@ class IncrementalConvRollup:
             .otherwise(F.lit(0))
             .cast("long")
             .alias("chars"),
+            # a live turn's max_ts contribution; NULL for tombstones (and
+            # for upstreams that carry no ts column at all — those get a
+            # NULL max_ts and empty reserves, never an underflow refill)
+            F.when(
+                live,
+                F.col("ts") if "ts" in df.columns
+                else F.lit(None).cast("timestamp"),
+            ).alias("ts"),
         )
 
     def _old_rows(self, diff: DataFrame, last_v: int) -> DataFrame:
@@ -206,6 +242,7 @@ class IncrementalConvRollup:
             F.col("lsn").alias("old_lsn"),
             F.col("turns").alias("old_turns"),
             F.col("chars").alias("old_chars"),
+            F.col("ts").alias("old_ts"),
         )
         # Staleness guard (the rollup's analog of the merge LSN guard): a
         # LATE event lands in a new file under MoR even when a newer row for
@@ -217,6 +254,12 @@ class IncrementalConvRollup:
         fresh = F.col("lsn") >= F.coalesce(F.col("old_lsn"), F.lit(-1))
         eff_turns = F.when(fresh, F.col("turns")).otherwise(F.col("old_turns"))
         eff_chars = F.when(fresh, F.col("chars")).otherwise(F.col("old_chars"))
+        eff_ts = F.when(fresh, F.col("ts")).otherwise(F.col("old_ts"))
+        # a turn's ts contribution changed iff the effective (post-staleness)
+        # value differs from the old one — drives reserve maintenance AND
+        # keeps pure-ts edits (same length text) from being skipped as
+        # zero-delta conversations
+        ts_changed = ~eff_ts.eqNullSafe(F.col("old_ts"))
         deltas = (
             new_c.join(old_c, ["conv_id", "turn_idx"], "left")
             .groupBy("conv_id")
@@ -227,10 +270,26 @@ class IncrementalConvRollup:
                 F.sum(
                     eff_chars - F.coalesce(F.col("old_chars"), F.lit(0))
                 ).alias("d_chars"),
+                F.max(ts_changed.cast("int")).alias("d_ts"),
+                # the changed turns' effective state, for reserve folding:
+                # (turn_idx, live?, ts) — only ts-relevant changes included
+                F.collect_list(
+                    F.when(
+                        ts_changed,
+                        F.struct(
+                            F.col("turn_idx").cast("long").alias("turn_idx"),
+                            eff_ts.alias("ts"),
+                        ),
+                    )
+                ).alias("ts_edits"),
             )
             # zero-delta conversations (all-stale polls, compaction re-emits,
-            # equal-length edits) change nothing — don't rewrite their rows
-            .filter((F.col("d_turns") != 0) | (F.col("d_chars") != 0))
+            # equal-length SAME-ts edits) change nothing — don't rewrite them
+            .filter(
+                (F.col("d_turns") != 0)
+                | (F.col("d_chars") != 0)
+                | (F.col("d_ts") == 1)
+            )
             # eager materialization of the O(changed convs) result: the
             # conv-id collect below AND the merge's write would otherwise
             # each replay the whole O(batch) diff + old-value pipeline
@@ -254,22 +313,116 @@ class IncrementalConvRollup:
                 "conv_id",
                 F.col("n_turns").alias("cur_turns"),
                 F.col("n_chars").alias("cur_chars"),
+                F.col("ts_reserve").alias("cur_reserve"),
             )
         )
-        merged = deltas.join(current, "conv_id", "left").select(
-            "conv_id",
-            (F.coalesce(F.col("cur_turns"), F.lit(0)) + F.col("d_turns")).alias(
-                "n_turns"
-            ),
-            (F.coalesce(F.col("cur_chars"), F.lit(0)) + F.col("d_chars")).alias(
-                "n_chars"
-            ),
-            F.lit(cur_v).cast("long").alias("src_version"),
+        # Reserve fold (all array expressions, per changed conv): drop the
+        # changed turns' old entries, add their new live values, re-sort
+        # descending, keep the top reserve_k.  Dropping only ever happens
+        # from the sorted tail, so the invariant "non-reserve turns <= all
+        # reserve entries" is preserved and max_ts stays exact.
+        empty_reserve = F.array().cast(T.ArrayType(RESERVE_ENTRY))
+        changed_idx = F.transform(F.col("ts_edits"), lambda e: e["turn_idx"])
+        kept = F.filter(
+            F.coalesce(F.col("cur_reserve"), empty_reserve),
+            lambda e: ~F.array_contains(changed_idx, e["turn_idx"]),
         )
+        additions = F.transform(
+            F.filter(F.col("ts_edits"), lambda e: e["ts"].isNotNull()),
+            lambda e: F.struct(
+                e["ts"].alias("ts"), e["turn_idx"].alias("turn_idx")
+            ),
+        )
+        reserve = F.slice(
+            F.reverse(F.array_sort(F.concat(kept, additions))),
+            1,
+            self.reserve_k,
+        )
+        merged = (
+            deltas.join(current, "conv_id", "left")
+            .select(
+                "conv_id",
+                (
+                    F.coalesce(F.col("cur_turns"), F.lit(0)) + F.col("d_turns")
+                ).alias("n_turns"),
+                (
+                    F.coalesce(F.col("cur_chars"), F.lit(0)) + F.col("d_chars")
+                ).alias("n_chars"),
+                reserve.alias("ts_reserve"),
+                F.lit(cur_v).cast("long").alias("src_version"),
+            )
+            .localCheckpoint()  # the underflow probe below must not re-run
+            # the point lookups the reserve fold reads
+        )
+        # Underflow: deletes exhausted a conversation's whole reserve while
+        # live turns remain — the ONLY case delta maintenance cannot answer.
+        # Refill those conversations (and only those) from one column-pruned
+        # upstream pass; a conversation can hit this at most once per
+        # reserve_k deletions of its then-top turns.
+        under = (
+            [
+                r["conv_id"]
+                for r in merged.filter(
+                    (F.size("ts_reserve") == 0) & (F.col("n_turns") > 0)
+                )
+                .select("conv_id")
+                .collect()
+            ]
+            if "ts" in diff.columns  # ts-less upstream: reserves are
+            else []  # legitimately empty, nothing to refill
+        )
+        if under:
+            self.reserve_refills += 1
+            refill = (
+                self.upstream.read(version=cur_v)
+                .filter(
+                    (~F.coalesce(F.col("_deleted"), F.lit(False)))
+                    & F.col("conv_id").isin(under)
+                )
+                .groupBy("conv_id")
+                .agg(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(
+                                # null-ts rows can't anchor a max; skipped
+                                F.collect_list(
+                                    F.when(
+                                        F.col("ts").isNotNull(),
+                                        F.struct(
+                                            F.col("ts").alias("ts"),
+                                            F.col("turn_idx")
+                                            .cast("long")
+                                            .alias("turn_idx"),
+                                        ),
+                                    )
+                                )
+                            )
+                        ),
+                        1,
+                        self.reserve_k,
+                    ).alias("refill_reserve")
+                )
+            )
+            merged = merged.join(refill, "conv_id", "left").select(
+                "conv_id",
+                "n_turns",
+                "n_chars",
+                F.when(
+                    F.size("ts_reserve") == 0,
+                    F.coalesce(F.col("refill_reserve"), empty_reserve),
+                )
+                .otherwise(F.col("ts_reserve"))
+                .alias("ts_reserve"),
+                "src_version",
+            )
         batch = merged.select(
             "conv_id",
             "n_turns",
             "n_chars",
+            # F.get is null-on-out-of-bounds even under ANSI mode
+            # (element_at would throw on an emptied reserve)
+            F.get(F.col("ts_reserve"), 0)["ts"].alias("max_ts"),
+            "ts_reserve",
             "src_version",
             F.lit(cur_v).cast("long").alias("lsn"),
             F.when(F.col("n_turns") <= 0, F.lit("delete"))

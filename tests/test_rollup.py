@@ -16,14 +16,17 @@ from mimic_spark.streaming.rollup import IncrementalConvRollup
 
 
 def _recompute(cdc: TranscriptCdc) -> list[tuple]:
-    """The rollup's defining oracle: a full recompute from published rows."""
+    """The rollup's defining oracle: a full recompute from published rows
+    (max_ts included — the reserve-maintained aggregate must match a plain
+    MAX over the live group at every point)."""
     return sorted(
-        (r["conv_id"], r["n_turns"], r["n_chars"])
+        (r["conv_id"], r["n_turns"], r["n_chars"], r["max_ts"])
         for r in cdc.read_published()
         .groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.sum(F.length("text")).alias("n_chars"),
+            F.max("ts").alias("max_ts"),
         )
         .collect()
     )
@@ -31,7 +34,7 @@ def _recompute(cdc: TranscriptCdc) -> list[tuple]:
 
 def _materialized(roll: IncrementalConvRollup) -> list[tuple]:
     return sorted(
-        (r["conv_id"], r["n_turns"], r["n_chars"])
+        (r["conv_id"], r["n_turns"], r["n_chars"], r["max_ts"])
         for r in roll.read().collect()
     )
 
@@ -85,7 +88,7 @@ def test_rollup_tracks_upstream_incrementally(spark, tmp_table_dir):
     roll.run_until_idle()
     state = _materialized(roll)
     assert state == _recompute(up)
-    assert victim_conv not in {c for c, _, _ in state}
+    assert victim_conv not in {c for c, *_ in state}
 
     # stale late event: lower lsn than the key's current row — a no-op
     # upstream, must be a no-op in the rollup (the staleness guard)
@@ -223,7 +226,8 @@ def test_rollup_random_sequences_converge(spark):
                     ~F.coalesce(F.col("_deleted"), F.lit(False))
                 )
                 want = sorted(
-                    (r["conv_id"], r["n_turns"], r["n_chars"])
+                    # ts-less upstream: max_ts is NULL by construction
+                    (r["conv_id"], r["n_turns"], r["n_chars"], None)
                     for r in live.groupBy("conv_id")
                     .agg(
                         F.count(F.lit(1)).alias("n_turns"),
@@ -299,7 +303,8 @@ def test_rollup_bucket_path_across_rebucket_and_key_widening(spark, tmp_table_di
             ~F.coalesce(F.col("_deleted"), F.lit(False))
         )
         return sorted(
-            (r["conv_id"], r["n_turns"], r["n_chars"])
+            # ts-less upstream: max_ts is NULL by construction
+            (r["conv_id"], r["n_turns"], r["n_chars"], None)
             for r in live.groupBy("conv_id")
             .agg(
                 F.count(F.lit(1)).alias("n_turns"),
@@ -403,3 +408,74 @@ def test_rollup_survives_upstream_compaction(spark, tmp_table_dir):
     # the compaction poll changed no aggregates: cursor-only commit(s)
     for v in range(rollup_v + 1, roll.table.latest_version() + 1):
         assert roll.table.snapshot(v).op == "rollup-cursor"
+
+
+def test_rollup_max_ts_reserve_underflow_refill(spark, tmp_table_dir):
+    """Deletes that exhaust a conversation's whole ts-reserve (reserve_k=2
+    here) must trigger the targeted upstream refill and keep max_ts exact —
+    the one case delta maintenance alone cannot answer.  Also covers a
+    ts-LOWERING update (retraction of the current max via update, absorbed
+    by the reserve without any refill)."""
+    import datetime as dt
+
+    SCHEMA = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string"
+    )
+    base = dt.datetime(2025, 1, 1)
+
+    def ts(c, t):
+        return base + dt.timedelta(minutes=100 * c + t)
+
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "upuf"), n_buckets=4,
+        mode="mor", compact_every=0,
+    )
+    rows = [
+        (f"c{c}", t, "user", f"turn {t}", None, ts(c, t), c * 100 + t, "insert")
+        for c in range(3)
+        for t in range(10)
+    ]
+    up.apply_batch(spark.createDataFrame(rows, SCHEMA), 0)
+    roll = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rolluf"),
+        n_buckets=2, reserve_k=2,
+    )
+    roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)
+    assert roll.reserve_refills == 0
+
+    # three rounds of "delete every conversation's top-2 turns" — each
+    # round empties every reserve (reserve_k=2), forcing a refill
+    lsn = 10_000
+    for rnd in range(3):
+        live = up.read_published().collect()
+        top: dict = {}
+        for r in live:
+            top.setdefault(r["conv_id"], []).append((r["ts"], r["turn_idx"]))
+        dels = []
+        for c, pairs in top.items():
+            for _, t in sorted(pairs, reverse=True)[:2]:
+                lsn += 1
+                dels.append((c, t, None, None, None, None, lsn, "delete"))
+        up.apply_batch(spark.createDataFrame(dels, SCHEMA), 1 + rnd)
+        roll.run_until_idle()
+        assert _materialized(roll) == _recompute(up), f"round {rnd}"
+    assert roll.reserve_refills == 3
+
+    # ts-lowering update: the current max turn moves BELOW every other
+    # turn; the reserve absorbs the retraction locally (no new refill)
+    refills_before = roll.reserve_refills
+    live = sorted(
+        up.read_published().collect(), key=lambda r: r["ts"], reverse=True
+    )
+    mx = live[0]
+    lsn += 1
+    upd = [(
+        mx["conv_id"], mx["turn_idx"], "user", "moved back", None,
+        base - dt.timedelta(days=1), lsn, "update",
+    )]
+    up.apply_batch(spark.createDataFrame(upd, SCHEMA), 10)
+    roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)
+    assert roll.reserve_refills == refills_before
