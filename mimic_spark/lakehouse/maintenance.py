@@ -67,9 +67,16 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
     snapshot at all may belong to an in-flight writer that has not committed
     yet — deleting it here would corrupt that writer's commit.  Those true
     orphans (crashed writers) are remove_orphan_files' job, which carries an
-    age guard for exactly that race."""
+    age guard for exactly that race.
+
+    TAGGED versions (SnapshotTable.tag, the Iceberg tag role) are always
+    retained, along with their data files, regardless of keep_last."""
     existing = table.versions()
-    keep = existing[-keep_last:] if keep_last > 0 else []
+    tagged = set(table.tags().values())
+    keep = sorted(
+        set(existing[-keep_last:] if keep_last > 0 else [])
+        | (tagged & set(existing))
+    )
     expired = [v for v in existing if v not in keep]
     live = referenced_paths(table, keep)
     doomed = referenced_paths(table, expired) - live

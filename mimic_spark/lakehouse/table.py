@@ -70,9 +70,46 @@ _NUMERIC_WIDTH = {
 
 
 def widen_type(a: T.DataType, b: T.DataType) -> T.DataType:
-    """Widest common type for schema evolution (int->long, float->double...)."""
+    """Widest common type for schema evolution (int->long, float->double...).
+
+    Nested types widen recursively: array elements, map keys/values, and
+    struct FIELDS (same field set only — new nested fields are rejected,
+    because old files are aligned by Column.cast, and struct casts require
+    matching shapes; add columns at the top level instead).  Safe because
+    every old file is read under its written schema and cast per file
+    group (`_read_files`/`_align`) — the parquet reader never sees a
+    mismatched requested schema."""
     if a == b:
         return a
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(
+            widen_type(a.elementType, b.elementType),
+            a.containsNull or b.containsNull,
+        )
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        return T.MapType(
+            widen_type(a.keyType, b.keyType),
+            widen_type(a.valueType, b.valueType),
+            a.valueContainsNull or b.valueContainsNull,
+        )
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        if [f.name for f in a.fields] != [f.name for f in b.fields]:
+            raise TypeError(
+                "cannot evolve nested struct fields "
+                f"({[f.name for f in a.fields]} vs "
+                f"{[f.name for f in b.fields]}); only top-level columns "
+                "can be added"
+            )
+        return T.StructType(
+            [
+                T.StructField(
+                    fa.name,
+                    widen_type(fa.dataType, fb.dataType),
+                    fa.nullable or fb.nullable,
+                )
+                for fa, fb in zip(a.fields, b.fields)
+            ]
+        )
     an, bn = a.typeName(), b.typeName()
     if an in _NUMERIC_WIDTH and bn in _NUMERIC_WIDTH:
         # ints widen along the chain; mixing int/float promotes to double
@@ -317,6 +354,55 @@ class SnapshotTable:
             f"publish or abort the staged batch"
         )
 
+    # ------------------------------------------------------------- tags
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tag role), from the latest props."""
+        return {
+            str(k): int(v)
+            for k, v in (self.props().get("tags") or {}).items()
+        }
+
+    def tag(self, name: str, version: int | None = None) -> Snapshot:
+        """Name a snapshot version (default: the current published one).
+
+        Metadata-only commit: the tag map rides snapshot props like every
+        other version-scoped state, so tagging is atomic with respect to
+        concurrent writers (CommitConflict on a race) and a tag is visible
+        to every later reader.  Tagged versions are protected from
+        ``expire_snapshots``.  ``rollback_to`` restores the tag map of the
+        rolled-back-to version wholesale, like all version-scoped state."""
+        v = self.current_version() if version is None else int(version)
+        if v not in self.versions():
+            raise FileNotFoundError(
+                f"{self.path}: cannot tag v{v} (not a retained snapshot)"
+            )
+        base = self.snapshot()
+        tags = dict(base.props.get("tags") or {})
+        tags[name] = v
+        return self.commit(
+            base=base, op="tag", files=base.files, props_update={"tags": tags}
+        )
+
+    def untag(self, name: str) -> Snapshot:
+        base = self.snapshot()
+        tags = dict(base.props.get("tags") or {})
+        if name not in tags:
+            raise KeyError(f"{self.path}: no tag {name!r}")
+        del tags[name]
+        return self.commit(
+            base=base, op="untag", files=base.files,
+            props_update={"tags": tags},
+        )
+
+    def version_of_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(
+                f"{self.path}: no tag {name!r} (have {sorted(tags)})"
+            )
+        return tags[name]
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.latest_version() if version is None else version
         p = os.path.join(self._log_dir, f"v{v:012d}.json")
@@ -375,6 +461,7 @@ class SnapshotTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         resolve: bool = True,
+        tag: str | None = None,
     ) -> DataFrame:
         """Current (or pinned) snapshot as a DataFrame, schema-aligned.
 
@@ -388,8 +475,13 @@ class SnapshotTable:
 
         version=None resolves to the latest PUBLISHED snapshot — a staged
         write-audit-publish batch is invisible here until published (audit
-        it by passing its staged version explicitly).
+        it by passing its staged version explicitly).  ``tag=`` reads the
+        named snapshot (mutually exclusive with ``version``).
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version or tag, not both")
+            version = self.version_of_tag(tag)
         snap = self.snapshot(self.current_version() if version is None else version)
         files = snap.files
         if buckets is not None:

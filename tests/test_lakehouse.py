@@ -1091,3 +1091,104 @@ def test_compact_incremental_rewrites_only_dirty_buckets(spark, tmp_table_dir):
     assert (victim[0], victim[1]) not in {
         (r["conv_id"], r["turn_idx"]) for r in cdc.read_published().collect()
     }
+
+
+def test_nested_type_widening_through_merge(spark, tmp_table_dir):
+    """Array elements and struct fields widen recursively; old files written
+    under the narrow nested type read back cast to the wide one."""
+    path = os.path.join(tmp_table_dir, "nested_widen_tbl")
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("vals", T.ArrayType(T.IntegerType()), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("n", T.IntegerType(), True),
+                        T.StructField("w", T.FloatType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    t = SnapshotTable.create(spark, path, schema, ["conv_id", "turn_idx"], 2)
+    b1 = spark.createDataFrame(
+        [("a", 0, "insert", 1, [1, 2], (3, 1.5))],
+        "conv_id string, turn_idx int, op string, lsn long,"
+        " vals array<int>, meta struct<n:int, w:float>",
+    )
+    merge_into(t, b1, batch_id=0)
+    b2 = spark.createDataFrame(
+        [("a", 1, "insert", 2, [2**40], (2**41, 0.25))],
+        "conv_id string, turn_idx int, op string, lsn long,"
+        " vals array<long>, meta struct<n:long, w:float>",
+    )
+    merge_into(t, b2, batch_id=1)
+    assert t.schema()["vals"].dataType == T.ArrayType(T.LongType())
+    assert t.schema()["meta"].dataType["n"].dataType == T.LongType()
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r for r in t.read().collect()
+    }
+    assert rows[("a", 0)]["vals"] == [1, 2]
+    assert rows[("a", 0)]["meta"]["n"] == 3
+    assert rows[("a", 1)]["vals"] == [2**40]
+    assert rows[("a", 1)]["meta"]["n"] == 2**41
+
+    # nested struct field ADDITION is rejected loudly (top-level only)
+    with pytest.raises(TypeError, match="nested struct"):
+        widen_type(
+            T.StructType([T.StructField("n", T.IntegerType())]),
+            T.StructType(
+                [
+                    T.StructField("n", T.IntegerType()),
+                    T.StructField("extra", T.StringType()),
+                ]
+            ),
+        )
+
+
+def test_snapshot_tags_protect_and_read(spark, tmp_table_dir):
+    """Tags name versions, read(tag=) time-travels, expire_snapshots keeps
+    tagged versions AND their data files; untag releases them."""
+    path = os.path.join(tmp_table_dir, "tag_tbl")
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("x", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(spark, path, schema, ["conv_id", "turn_idx"], 2)
+    t.append(spark.createDataFrame([("a", 0, 1)], schema))
+    tagged_v = t.latest_version()
+    t.tag("baseline")
+    assert t.tags() == {"baseline": tagged_v}
+    for i in range(1, 6):
+        t.append(spark.createDataFrame([("a", i, 1)], schema))
+    assert sorted(
+        tuple(r) for r in t.read(tag="baseline").select("conv_id", "turn_idx").collect()
+    ) == [("a", 0)]
+
+    # expiry keeps the tagged version and its files through deep retention
+    expire_snapshots(t, keep_last=2)
+    assert tagged_v in t.versions()
+    assert t.read(tag="baseline").count() == 1  # files still readable
+    # untagged old versions are gone
+    assert min(v for v in t.versions() if v != tagged_v) > tagged_v
+
+    # guards: unknown tag / both params / tagging a missing version
+    with pytest.raises(KeyError):
+        t.read(tag="nope")
+    with pytest.raises(ValueError):
+        t.read(version=1, tag="baseline")
+    with pytest.raises(FileNotFoundError):
+        t.tag("ghost", version=99999)
+
+    # untag releases the version at the next expiry
+    t.untag("baseline")
+    assert t.tags() == {}
+    expire_snapshots(t, keep_last=2)
+    assert tagged_v not in t.versions()
