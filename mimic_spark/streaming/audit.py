@@ -11,6 +11,9 @@ A3 ledger continuity   — batch ids 0..n with no holes
 A4 lineage coverage    — every applied batch has per-partition metrics rows
 A5 population equality — optional expected row count (the reference's
                          row-count reconciliation, test/qa/qa_person.sql)
+A6 poison ratio        — dead-lettered events / total events stays under a
+                         threshold (a quietly rotting producer should stop
+                         the pipeline, not fill the DLQ forever)
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ def run_audit(
     cdc: TranscriptCdc,
     expected_final_count: int | None = None,
     fail_on_error: bool = True,
+    max_reject_ratio: float | None = 0.01,
 ) -> AuditReport:
     rep = AuditReport()
     keys = cdc.table.key_cols
@@ -105,6 +109,29 @@ def run_audit(
             "population_equality",
             stats["n"] == expected_final_count,
             {"rows": stats["n"], "expected": expected_final_count},
+        )
+
+    if max_reject_ratio is not None:
+        # one aggregate over the (compacted, bounded) metrics table — the
+        # DLQ itself is not scanned (it may legitimately be absent)
+        ms = (
+            cdc.metrics.read()
+            .agg(
+                F.coalesce(F.sum("rejects"), F.lit(0)).alias("rej"),
+                F.coalesce(F.sum("rows_in"), F.lit(0)).alias("total"),
+            )
+            .collect()[0]
+        )
+        ratio = (int(ms["rej"]) / int(ms["total"])) if ms["total"] else 0.0
+        rep.record(
+            "poison_ratio",
+            ratio <= max_reject_ratio,
+            {
+                "rejects": int(ms["rej"]),
+                "events": int(ms["total"]),
+                "ratio": round(ratio, 6),
+                "max": max_reject_ratio,
+            },
         )
 
     if rep.failures and fail_on_error:

@@ -464,6 +464,7 @@ class Workflow:
             self._last_cdc,
             expected_final_count=step.get("expected_final_count"),
             fail_on_error=step.get("fail_on_error", True),
+            max_reject_ratio=step.get("max_reject_ratio", 0.01),
         )
         return rep.checks
 

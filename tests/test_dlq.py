@@ -113,3 +113,39 @@ def test_dlq_quarantines_malformed_events(spark, tmp_table_dir):
     res3 = cdc.apply_batch(allbad, bid + 2)
     assert not res3.skipped and int(res3.rows_applied) == 0
     assert cdc.high_watermark() == bid + 2 or cdc._ledger_hwm == bid + 2
+
+
+def test_poison_ratio_audit_gate(spark, tmp_table_dir):
+    """The audit gate fails the run when dead-lettered events exceed the
+    allowed ratio of the stream — a rotting producer stops the pipeline."""
+    import pytest
+
+    from mimic_spark.streaming.audit import AuditError, run_audit
+
+    spec = ChangelogSpec(n_events=600, n_convs=20, n_chunks=1)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clpr")
+    )
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "tpr"), n_buckets=4)
+    run_batched(spark, cdc, chunks)
+    rep = run_audit(cdc)  # clean stream: ratio 0, default threshold passes
+    assert rep.checks["poison_ratio"]["ok"]
+
+    wm = cdc.high_watermark()
+    bad = spark.createDataFrame(
+        [(None, i, "user", "x", None, None, wm + 1 + i, "insert")
+         for i in range(10)]
+        + [("ok", 1, "user", "y", None, None, wm + 100, "insert")],
+        SCHEMA,
+    )
+    cdc.apply_batch(bad, int(cdc.table.props()["last_batch_id"]) + 1)
+
+    # 10 rejects over ~611 events ≈ 1.6% > default 1% -> gate trips
+    with pytest.raises(AuditError, match="poison_ratio"):
+        run_audit(cdc)
+    # explicit looser threshold passes and reports the ratio
+    rep2 = run_audit(cdc, max_reject_ratio=0.05)
+    assert rep2.checks["poison_ratio"]["ok"]
+    assert rep2.checks["poison_ratio"]["detail"]["rejects"] == 10
+    # disabled -> check absent
+    assert "poison_ratio" not in run_audit(cdc, max_reject_ratio=None).checks
