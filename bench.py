@@ -77,6 +77,31 @@ def main() -> int:
     # warm the session (JVM/codegen) outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Box-speed canary (r5 verdict wrong #3): a fixed pure-JVM hash-agg
+    # over spark.range — constant work, no I/O, no Python — recorded with
+    # every bench run so cross-session comparisons can be normalized
+    # without an interleaved A/B study (this box's absolute speed swung
+    # ~25-35% between r4 and r5 sessions on identical code).  Median of 3.
+    def _canary_once() -> float:
+        t0 = time.time()
+        (
+            spark.range(200_000_000)
+            .selectExpr("id % 4096 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.time() - t0, 3)
+
+    canary_samples = sorted(_canary_once() for _ in range(3))
+    canary = {
+        "what": "spark.range(2e8) % 4096 hash-agg, noop sink, median of 3",
+        "sec": canary_samples[1],
+        "samples": canary_samples,
+    }
+
     # Timed passes per query:
     #  - cold (1 pass): includes Catalyst analysis + Janino codegen of the
     #    query's expressions (a fixed per-plan cost — the portable-hash
@@ -217,12 +242,20 @@ def main() -> int:
         eff = runs[1]["events_per_sec"] / (4 * runs[0]["events_per_sec"])
         scaling = {"runs": runs, "scaling_efficiency": round(eff, 3)}
     elif os.path.exists(scaling_path):
+        # emit the LATEST round's confirmed pair, not the historical
+        # top-level headline (r5 verdict wrong #2: the driver record
+        # silently carried r3's 0.881 while r5 had measured 0.915/0.984).
+        # scaling.json's `latest_confirmation` names the current record.
         with open(scaling_path) as f:
             rec = json.load(f)
+        latest_key = rec.get("latest_confirmation")
+        latest = rec.get(latest_key) if latest_key else None
+        cur = latest if isinstance(latest, dict) else rec
         scaling = {
             "recorded": True,
-            "runs": rec["runs"],
-            "scaling_efficiency": rec["scaling_efficiency"],
+            "confirmation": latest_key or "initial",
+            "runs": cur["runs"],
+            "scaling_efficiency": cur["scaling_efficiency"],
             "see": "BENCH/BASELINE.md",
         }
 
@@ -243,6 +276,7 @@ def main() -> int:
         "cdc_large_batch": large_batch,
         "cdc_scaling": scaling,
         "sf1": sf1,
+        "box_canary": canary,
     }
     detail_path = os.path.join(here, "BENCH", "latest.json")
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
@@ -270,10 +304,12 @@ def main() -> int:
             {
                 "pair": "1->4",
                 "efficiency": scaling["scaling_efficiency"],
+                "confirmation": scaling.get("confirmation"),
             }
             if scaling
             else None
         ),
+        "box_canary_sec": canary["sec"],
         "sf1": (
             {"value": sf1.get("value"), "ratio": sf1.get("ratio_total")}
             if sf1

@@ -70,12 +70,30 @@ def expire_snapshots(table: SnapshotTable, keep_last: int = 2) -> dict:
     age guard for exactly that race.
 
     TAGGED versions (SnapshotTable.tag, the Iceberg tag role) are always
-    retained, along with their data files, regardless of keep_last."""
+    retained, along with their data files, regardless of keep_last.
+
+    The latest PUBLISHED snapshot (current_version: newest without the
+    ``wap.staged`` marker) is likewise always retained: while a WAP batch
+    is staged at the head, positional keep_last would otherwise expire the
+    published snapshot underneath it — every default reader, change-feed
+    poll, and wap.abort resolves current_version, and for an
+    overwrite-mode stage the published data files would be deleted
+    outright, making the pre-stage state unrecoverable.  Only the commit
+    path guards against writing over a staged head; expiry is pure file
+    ops, so the protection must live here."""
     existing = table.versions()
     tagged = set(table.tags().values())
+    published: set[int] = set()
+    try:
+        published.add(table.current_version())
+    except FileNotFoundError:
+        # every retained snapshot is WAP-staged (stage-from-empty table):
+        # nothing published to protect
+        pass
     keep = sorted(
         set(existing[-keep_last:] if keep_last > 0 else [])
         | (tagged & set(existing))
+        | published
     )
     expired = [v for v in existing if v not in keep]
     live = referenced_paths(table, keep)

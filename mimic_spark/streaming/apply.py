@@ -102,7 +102,15 @@ def invalid_reason(
         )
     return (
         F.when(F.col(lsn_col).isNull(), F.lit("null lsn"))
-        .when(~F.col(op_col).isin(*VALID_OPS), F.concat(F.lit("bad op: "), F.coalesce(F.col(op_col), F.lit("NULL"))))
+        # null-safe: isin() is NULL for op=NULL, and ~NULL stays NULL — the
+        # coalesce(False) forces the branch for NULL ops too, so they land
+        # in the DLQ instead of flowing into the merge as upserts
+        .when(
+            ~F.coalesce(F.col(op_col).isin(*VALID_OPS), F.lit(False)),
+            F.concat(
+                F.lit("bad op: "), F.coalesce(F.col(op_col), F.lit("NULL"))
+            ),
+        )
         .otherwise(cond)
     )
 

@@ -113,11 +113,16 @@ def run_audit(
 
     if max_reject_ratio is not None:
         # one aggregate over the (compacted, bounded) metrics table — the
-        # DLQ itself is not scanned (it may legitimately be absent)
+        # DLQ itself is not scanned (it may legitimately be absent).  A
+        # metrics table written before the DLQ feature existed lacks the
+        # 'rejects' column entirely; absence means zero rejects, not a crash.
+        mdf = cdc.metrics.read()
+        rej_col = (
+            F.sum("rejects") if "rejects" in mdf.columns else F.sum(F.lit(0))
+        )
         ms = (
-            cdc.metrics.read()
-            .agg(
-                F.coalesce(F.sum("rejects"), F.lit(0)).alias("rej"),
+            mdf.agg(
+                F.coalesce(rej_col, F.lit(0)).alias("rej"),
                 F.coalesce(F.sum("rows_in"), F.lit(0)).alias("total"),
             )
             .collect()[0]

@@ -153,6 +153,19 @@ class ChangeFeedConsumer:
         result = self.cdc.apply_batch(
             batch, batch_id, extra_props={CURSOR_PROP: snap_v}
         )
+        # an EMPTY upstream snapshot skips the merge, so no commit carried
+        # the cursor prop — without this the cursor stays -1 and the next
+        # poll replays full history (or fails loud if early versions were
+        # expired: the exact case bootstrap exists to avoid).  Advance it
+        # with a metadata-only commit, same as poll_once's empty-diff path.
+        if self.cursor() < snap_v:
+            base = self.cdc.table.snapshot()
+            self.cdc.table.commit(
+                base=base,
+                op="changefeed-cursor",
+                files=base.files,
+                props_update={CURSOR_PROP: snap_v},
+            )
         return int(result.rows_applied)
 
     def _poll_target(self, last_v: int, cur_v: int) -> int:

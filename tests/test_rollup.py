@@ -479,3 +479,89 @@ def test_rollup_max_ts_reserve_underflow_refill(spark, tmp_table_dir):
     roll.run_until_idle()
     assert _materialized(roll) == _recompute(up)
     assert roll.reserve_refills == refills_before
+
+
+def test_rollup_reserve_watermark_blocks_low_readmission(spark, tmp_table_dir):
+    """The r5 ADVICE counterexample: a batch that deletes a reserve member
+    AND inserts a turn below the old reserve minimum must NOT admit the low
+    turn into the freed slot — live non-reserve turns with higher ts exist,
+    and a later delete of the remaining reserve member would leave max_ts
+    anchored to the low turn, silently wrong forever.  The eviction
+    watermark (ts_floor) discards the below-watermark addition instead."""
+    import datetime as dt
+
+    SCHEMA = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string"
+    )
+    base = dt.datetime(2025, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "upwm"), n_buckets=2,
+        mode="mor", compact_every=0,
+    )
+    roll = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rollwm"),
+        n_buckets=2, reserve_k=2,
+    )
+    # turns ts=10,20,30,40: reserve={40,30}, watermark rises to 20 (sliced)
+    up.apply_batch(
+        spark.createDataFrame(
+            [("c", t, "user", f"t{t}", None, ts(10 * t), t, "insert")
+             for t in (1, 2, 3, 4)],
+            SCHEMA,
+        ),
+        0,
+    )
+    roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)
+
+    # one batch: delete the max turn (ts=40) AND insert ts=5 — the freed
+    # reserve slot must NOT be filled by the below-watermark addition
+    up.apply_batch(
+        spark.createDataFrame(
+            [
+                ("c", 4, None, None, None, None, 100, "delete"),
+                ("c", 9, "user", "low", None, ts(5), 101, "insert"),
+            ],
+            SCHEMA,
+        ),
+        1,
+    )
+    roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)  # max_ts = 30
+
+    # delete the last original reserve member (ts=30): the reserve empties
+    # (the low turn was never admitted) -> targeted refill, max_ts = 20
+    refills = roll.reserve_refills
+    up.apply_batch(
+        spark.createDataFrame(
+            [("c", 3, None, None, None, None, 102, "delete")], SCHEMA
+        ),
+        2,
+    )
+    roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)  # max_ts = 20, not 5
+    assert roll.reserve_refills == refills + 1
+
+    # and once more down to the genuinely-low region: refill reset the
+    # watermark, so ts=10 / ts=5 are reachable again
+    up.apply_batch(
+        spark.createDataFrame(
+            [("c", 2, None, None, None, None, 103, "delete")], SCHEMA
+        ),
+        3,
+    )
+    roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)  # max_ts = 10
+    up.apply_batch(
+        spark.createDataFrame(
+            [("c", 1, None, None, None, None, 104, "delete")], SCHEMA
+        ),
+        4,
+    )
+    roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)  # max_ts = 5 (the low turn)

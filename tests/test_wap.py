@@ -191,3 +191,38 @@ def test_rollback_to_restores_state_without_rewriting_history(
 
     with pytest.raises(FileNotFoundError):
         t.rollback_to(99)
+
+def test_expire_snapshots_protects_published_under_staged_head(
+    spark, tmp_table_dir
+):
+    """r5 ADVICE (high): while a WAP batch is staged at the head, positional
+    keep_last would expire the latest PUBLISHED snapshot — current_version
+    then raises for every reader and feed poll, abort crashes, and an
+    overwrite-mode stage deletes the published data files outright.  Expiry
+    must always retain the published snapshot (and its files)."""
+    t = _mk(spark, os.path.join(tmp_table_dir, "twapexp"))
+    published = _state(t.read())
+    pub_v = t.current_version()
+
+    # two stacked stage commits occupy the positional keep_last=2 window
+    wap.stage(t, spark.createDataFrame([("s", 1, "a")], SCHEMA), "b1")
+    wap.stage(t, spark.createDataFrame([("s", 2, "b")], SCHEMA), "b1")
+    expire_snapshots(t, keep_last=2)
+    assert t.current_version() == pub_v
+    assert _state(t.read()) == published  # data files intact
+    wap.abort(t, "b1")  # abort resolves current_version — must not crash
+    assert _state(t.read()) == published
+
+    # the nastier variant: an OVERWRITE stage with keep_last=1 — without
+    # the published version in the keep set, the published files are only
+    # referenced by expired snapshots and get deleted from disk
+    pub_v = t.current_version()  # abort committed a new published head
+    wap.stage(
+        t, spark.createDataFrame([("o", 1, "ow")], SCHEMA), "b2",
+        mode="overwrite",
+    )
+    expire_snapshots(t, keep_last=1)
+    assert t.current_version() == pub_v
+    assert _state(t.read()) == published
+    wap.abort(t, "b2")
+    assert _state(t.read()) == published
