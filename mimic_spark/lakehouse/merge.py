@@ -357,7 +357,16 @@ def _merge_mor(
         fe["schema_id"] = sid
         fe["delta"] = True
 
-    m = obs.get
+    if new_files:
+        m = obs.get
+    else:
+        # EMPTY batch (e.g. every row dead-lettered): the write ran zero
+        # tasks, so the Observation never fired and obs.get would raise a
+        # bare JVM assertion.  The batch marker must still advance
+        # atomically so a replay of this batch_id skips — mirror of the
+        # COW path's merge-empty commit (r6: found by the end-to-end
+        # drive, all-rejected batch on a MoR table).
+        m = {"rows_written": 0, "deletes": 0, "lsn_lo": None, "lsn_hi": None}
     props: dict[str, Any] = dict(extra_props or {})
     if batch_id is not None:
         props["last_batch_id"] = batch_id

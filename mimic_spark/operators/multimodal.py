@@ -38,12 +38,37 @@ MEDIA_SCHEMA = (
 )
 
 
-def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic fake media table: binary payloads derived from documents.
+def _png_encode_gray(w: int, h: int, px: bytes) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit grayscale, filter 0) — used by the
+    synthetic media generator so the catalog pipeline exercises the REAL
+    PNG decode path on genuine bytes, and by tests as a reference encoder."""
+    import zlib
 
-    Payload layout (little-endian): magic 4s | width i32 | height i32 |
-    body bytes.  Stands in for real image bytes; the header parse below is a
-    real binary decode exercised through the full Arrow path.
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    raw = b"".join(b"\x00" + px[y * w : (y + 1) * w] for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic media table: binary payloads derived from documents.
+
+    Most payloads use the FAKE layout (little-endian: magic 4s | width i32
+    | height i32 | body bytes) for plan/shape tests at any scale; image
+    rows with doc_id % 5 == 1 carry a REAL 8x8 grayscale PNG (pixels from
+    the text bytes) so the stdlib PNG codec runs inside the catalog
+    pipeline, not only in unit tests.  Deterministic either way.
     """
     (d,) = load_tables(spark, sf, "documents")
 
@@ -51,11 +76,17 @@ def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             w = (pdf["doc_id"] % 640 + 16).astype("int32")
             h = (pdf["doc_id"] % 480 + 16).astype("int32")
-            payloads = [
-                struct.pack("<4sii", b"FAKE", int(wi), int(hi))
-                + t.encode("utf-8")[:64]
-                for wi, hi, t in zip(w, h, pdf["text"])
-            ]
+            payloads = []
+            for wi, hi, i, t in zip(w, h, pdf["doc_id"], pdf["text"]):
+                if i % 3 and i % 5 == 1:  # image row -> real PNG bytes
+                    body = t.encode("utf-8")
+                    px = (body * (64 // max(len(body), 1) + 1))[:64]
+                    payloads.append(_png_encode_gray(8, 8, px))
+                else:
+                    payloads.append(
+                        struct.pack("<4sii", b"FAKE", int(wi), int(hi))
+                        + t.encode("utf-8")[:64]
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -177,3 +177,103 @@ def test_poison_ratio_tolerates_pre_dlq_metrics_schema(spark, tmp_table_dir):
     rep = run_audit(cdc, fail_on_error=False)
     assert rep.checks["poison_ratio"]["ok"]
     assert rep.checks["poison_ratio"]["detail"]["rejects"] == 0
+
+def test_dlq_replay_after_fix(spark, tmp_table_dir):
+    """r5 verdict Missing #3: quarantined payloads replay through the
+    normal apply pipeline after a declarative fix — fresh LSNs above the
+    watermark, still-malformed rows re-quarantine, the replay watermark
+    makes a second call a no-op, and state converges by value."""
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "trp"), n_buckets=2)
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [("seed", 1, "user", "ok", None, None, 10, "insert")], SCHEMA
+        ),
+        0,
+    )
+    wm = cdc.high_watermark()
+    poisoned = spark.createDataFrame(
+        [
+            ("seed", 2, "user", "fine", None, None, wm + 1, "insert"),
+            ("r", 1, "user", "fixme a", None, None, wm + 2, "upsert"),
+            ("r", 2, "user", "fixme b", None, None, wm + 3, None),
+            (None, 3, "user", "hopeless", None, None, wm + 4, "insert"),
+        ],
+        SCHEMA,
+    )
+    cdc.apply_batch(poisoned, 1)
+    assert cdc.read_rejects().count() == 3
+
+    def fix(df):
+        repaired = F.when(
+            F.coalesce(F.col("op").isin("insert", "update", "delete"),
+                       F.lit(False)),
+            F.col("op"),
+        ).otherwise(F.lit("insert"))
+        return df.withColumn("op", repaired).filter(
+            F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+        )
+
+    res = cdc.replay_rejects(fix=fix)
+    assert res["replayed"] == 3  # all pending parsed + offered to the fix
+    assert res["rows_applied"] == 2 and res["re_rejected"] == 0
+    pub = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    assert pub[("r", 1)] == "fixme a" and pub[("r", 2)] == "fixme b"
+    # fresh LSNs sit above the pre-replay COMMITTED watermark (wm+1, the
+    # only valid row of the poisoned batch); rejected events' raw LSNs
+    # were never applied, so that space is free
+    assert cdc.high_watermark() == wm + 1 + 2  # two replayed rows
+
+    # watermark advanced: a second replay has nothing pending
+    res2 = cdc.replay_rejects(fix=fix)
+    assert res2 == {"replayed": 0, "re_rejected": 0, "batch_id": None}
+
+    # an unfixed replay re-quarantines under the NEW batch id (and those
+    # rows become the next call's pending set — no silent loss)
+    wm2 = cdc.high_watermark()
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [("x", 9, "user", "still bad", None, None, wm2 + 1, "bogus")],
+            SCHEMA,
+        ),
+        int(cdc.table.props()["last_batch_id"]) + 1,
+    )
+    res3 = cdc.replay_rejects()  # no fix: op stays bogus
+    assert res3["replayed"] == 1 and res3["re_rejected"] == 1
+    assert res3["rows_applied"] == 0
+
+def test_all_rejected_batch_on_mor_table(spark, tmp_table_dir):
+    """r6 drive finding: an ALL-rejected batch on a MoR table ran a
+    zero-task delta write, so the merge's Observation never fired and
+    obs.get raised a bare JVM assertion.  The empty MoR batch must commit
+    the batch marker (replay skips) and the stream must continue."""
+    cdc = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "tmorall"), n_buckets=2, mode="mor"
+    )
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [("seed", 1, "user", "ok", None, None, 1, "insert")], SCHEMA
+        ),
+        0,
+    )
+    allbad = spark.createDataFrame(
+        [("x", 1, "user", "bad", None, None, 2, "bogus"),
+         (None, 2, "user", "bad2", None, None, 3, "insert")],
+        SCHEMA,
+    )
+    res = cdc.apply_batch(allbad, 1)
+    assert not res.skipped and int(res.rows_applied) == 0
+    assert cdc.read_rejects().count() == 2
+    # marker advanced: replaying the batch id skips
+    assert cdc.apply_batch(allbad, 1).skipped
+    # stream continues; state untouched by the poisoned batch
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [("seed", 2, "user", "later", None, None, 9, "insert")], SCHEMA
+        ),
+        2,
+    )
+    assert {(r["conv_id"], r["turn_idx"])
+            for r in cdc.read_published().collect()} == {("seed", 1), ("seed", 2)}

@@ -574,3 +574,73 @@ def test_sequence_packing_invariants(spark):
         for r in OPS["pack_sequences"].fn(spark, SF).collect()
     )
     assert results["whitespace"] == again  # and deterministic across runs
+
+def test_sizing_derivations():
+    """r5 verdict Missing #2: index parameters derive from corpus stats.
+    The floors reproduce the oracle-pinned constants at the 500-row
+    correctness corpus; at scale the formulas take over."""
+    from mimic_spark.operators.sizing import (
+        ivf_cells,
+        ivf_probes,
+        lsh_planes,
+        minhash_config,
+        minhash_rows_per_band,
+    )
+
+    # oracle/test corpus (500 rows) -> exactly the pinned constants
+    assert lsh_planes(500) == 4
+    assert ivf_cells(500) == 8
+    assert ivf_probes(ivf_cells(500)) == 3
+    assert minhash_rows_per_band(500) == 4
+
+    # scale growth: log2 planes, sqrt cells, ln-driven band rows
+    assert lsh_planes(2000) == 6
+    assert lsh_planes(10**9) == 24  # clamped (16M buckets)
+    assert ivf_cells(2000) == 31
+    assert ivf_cells(10**9) == 31623
+    assert ivf_probes(31623) == 3163  # 10% of cells
+    assert minhash_rows_per_band(10**10) == 15
+
+    # derived minhash layout places the S-curve knee at the threshold
+    h, b, r = minhash_config(500, threshold=0.5)
+    assert h == b * r and (b, r) == (16, 4)
+    assert abs((1.0 / b) ** (1.0 / r) - 0.5) < 0.1
+
+    # monotone in corpus size (never shrinks as data grows)
+    for f in (lsh_planes, ivf_cells):
+        sizes = [f(n) for n in (10**3, 10**5, 10**7, 10**9)]
+        assert sizes == sorted(sizes)
+
+
+def test_autosized_operators_match_pinned_at_oracle_scale(spark):
+    """Auto-sizing must be oracle-safe: at the 500-row corpus the derived
+    parameters equal the pinned oracle constants, so the auto-sized plan
+    returns byte-identical results; a production-derived minhash layout
+    stays exact-verified (subset of the exact Jaccard pairs, recall >=
+    the pinned layout's)."""
+    from mimic_spark.operators.dedup import dedup_minhash_lsh
+    from mimic_spark.operators.similarity import ann_lsh_bucketed
+    from mimic_spark.operators.sizing import minhash_config
+
+    auto = sorted(map(tuple, OPS["ann_lsh_bucketed"].fn(spark, SF).collect()))
+    pinned = sorted(map(tuple, ann_lsh_bucketed(spark, SF, n_planes=4).collect()))
+    assert auto == pinned
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in OPS["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    pinned_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in OPS["dedup_minhash_lsh"].fn(spark, SF).collect()
+    }
+    h, b, _ = minhash_config(500, threshold=0.5)
+    derived_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, SF, n_hashes=h, n_bands=b).collect()
+    }
+    assert set(derived_pairs) <= set(exact)
+    for k, v in derived_pairs.items():
+        assert v == exact[k]  # verification stage is exact either way
+    # knee at the threshold (0.5) vs pinned knee at 0.707: recall never drops
+    assert len(derived_pairs) >= len(pinned_pairs)
