@@ -183,11 +183,17 @@ class IncrementalConvRollup:
         if last_v < 0:
             return empty
         kdf = diff.select("conv_id", "turn_idx").distinct()
-        head = kdf.limit(self.max_point_keys + 1).collect()
-        if len(head) <= self.max_point_keys:
-            if not head:
-                return empty
-            keys = [(r["conv_id"], r["turn_idx"]) for r in head]
+        # size probe ships NO key payloads (limit+count); keys are only
+        # collected when the point path will actually use them (r5 Next #8
+        # — the old limit(k+1).collect() probe shipped up to k keys to the
+        # driver even when the answer was "too many, take the scan path")
+        n_probe = kdf.limit(self.max_point_keys + 1).count()
+        if n_probe == 0:
+            return empty
+        if n_probe <= self.max_point_keys:
+            keys = [
+                (r["conv_id"], r["turn_idx"]) for r in kdf.collect()
+            ]  # bounded: the probe proved |kdf| <= max_point_keys
             return self.upstream.read_for_keys(keys, version=last_v)
         # large batch: bucket-scoped scan of the pinned old version + a
         # semi-join on the changed keys (no driver-side key list).
@@ -225,12 +231,15 @@ class IncrementalConvRollup:
         unguarded conv-id collect was O(changed keys) driver memory at a
         100M-event poll): point lookup (bucket- and bloom-pruned) while the
         changed-conv set fits the bound, else bucket-scoped scan +
-        semi-join with no driver-side key list at all."""
-        head = conv_df.limit(self.max_point_keys + 1).collect()
-        if len(head) <= self.max_point_keys:
-            if not head:
+        semi-join with no driver-side key list at all.  Size probe is a
+        payload-free limit+count (r5 Next #8)."""
+        n_probe = conv_df.limit(self.max_point_keys + 1).count()
+        if n_probe <= self.max_point_keys:
+            if n_probe == 0:
                 return self.table.read().limit(0)
-            return self.table.read_for_keys([(r["conv_id"],) for r in head])
+            return self.table.read_for_keys(
+                [(r["conv_id"],) for r in conv_df.collect()]
+            )
         from mimic_spark.functions.hashing import bucket_expr
 
         nb = self.table.n_buckets
@@ -419,18 +428,18 @@ class IncrementalConvRollup:
             under_df = merged.filter(
                 (F.size("ts_reserve") == 0) & (F.col("n_turns") > 0)
             ).select("conv_id")
-            under_head = under_df.limit(self.max_point_keys + 1).collect()
+            n_under = under_df.limit(self.max_point_keys + 1).count()
         else:  # ts-less upstream: reserves are legitimately empty
-            under_df, under_head = None, []
-        if under_head:
+            under_df, n_under = None, 0
+        if n_under:
             self.reserve_refills += 1
             live = self.upstream.read(version=cur_v).filter(
                 ~F.coalesce(F.col("_deleted"), F.lit(False))
             )
-            if len(under_head) <= self.max_point_keys:
+            if n_under <= self.max_point_keys:
                 live = live.filter(
                     F.col("conv_id").isin(
-                        [r["conv_id"] for r in under_head]
+                        [r["conv_id"] for r in under_df.collect()]
                     )
                 )
             else:

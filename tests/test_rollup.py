@@ -565,3 +565,73 @@ def test_rollup_reserve_watermark_blocks_low_readmission(spark, tmp_table_dir):
     )
     roll.run_until_idle()
     assert _materialized(roll) == _recompute(up)  # max_ts = 5 (the low turn)
+
+def test_rollup_fallback_paths_no_wide_driver_collect(
+    spark, tmp_table_dir, monkeypatch
+):
+    """r5 verdict wrong #1 done-criteria: with max_point_keys=0 every key
+    path takes the bucket-scan + semi-join fallback, the poll converges to
+    the full-recompute oracle, and NO DataFrame.collect during the polls
+    returns more rows than the bucket count — i.e. no collect of width
+    O(changed keys) exists anywhere (same poisoning style as
+    test_changefeed_single_pass_poll)."""
+    import datetime as dt
+
+    import pyspark.sql.classic.dataframe as _cdfmod
+
+    SCHEMA = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string"
+    )
+    base = dt.datetime(2025, 1, 1)
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "upnc"), n_buckets=4,
+        mode="mor", compact_every=0,
+    )
+    roll = IncrementalConvRollup(
+        spark, up.table_path, os.path.join(tmp_table_dir, "rollnc"),
+        n_buckets=4, max_point_keys=0, reserve_k=2,
+    )
+    lsn = 0
+
+    def batch(rows, bid):
+        nonlocal lsn
+        out = []
+        for conv, turn, op in rows:
+            lsn += 1
+            out.append((
+                conv, turn, "user", f"{conv}-{turn}" if op != "delete" else None,
+                None, base + dt.timedelta(minutes=lsn) if op != "delete" else None,
+                lsn, op,
+            ))
+        up.apply_batch(spark.createDataFrame(out, SCHEMA), bid)
+
+    batch([(f"c{i}", t, "insert") for i in range(20) for t in range(4)], 0)
+    roll.run_until_idle()  # bootstrap poll, unguarded (no assertion yet)
+    assert _materialized(roll) == _recompute(up)
+
+    # poison collect: during guarded polls, any driver collect must be
+    # bounded by the bucket count (4), never by the changed-key count (20+)
+    orig = _cdfmod.DataFrame.collect
+    widths: list[int] = []
+
+    def guarded(self):
+        rows = orig(self)
+        widths.append(len(rows))
+        assert len(rows) <= 4, f"driver collect of width {len(rows)}"
+        return rows
+
+    monkeypatch.setattr(_cdfmod.DataFrame, "collect", guarded)
+    # updates + deletes touching EVERY conversation, incl. reserve-emptying
+    # deletes of each conversation's top-2 turns by ts (after the update,
+    # that is turn 0 — fresh high ts — and turn 3), forcing the refill path
+    batch([(f"c{i}", 0, "update") for i in range(20)], 1)
+    roll.run_until_idle()
+    batch(
+        [(f"c{i}", t, "delete") for i in range(20) for t in (0, 3)], 2
+    )
+    roll.run_until_idle()
+    assert roll.reserve_refills >= 1
+    monkeypatch.setattr(_cdfmod.DataFrame, "collect", orig)
+    assert widths, "poisoned collect never ran"
+    assert _materialized(roll) == _recompute(up)
