@@ -298,23 +298,30 @@ def test_history_survives_expiry_holes(spark, tmp_table_dir):
 def test_decoder_runtime_selection():
     """_decode_one dispatches per payload magic: FAKE -> stub; WAV decodes
     for real (stdlib `wave` when soundfile is absent — this sandbox); PNG
-    raises a clear NotImplementedError on image-codec-less workers and
-    would route to PIL where installed."""
+    decodes for real even without PIL (stdlib path, r6 — PIL keeps
+    precedence where installed); truncated PNGs and unknown magics fail
+    loud with typed errors, never silently-wrong pixels."""
     import struct as _struct
 
     import pytest as _pytest
 
-    from mimic_spark.operators.multimodal import _codec_modules, _decode_one
+    from mimic_spark.operators.multimodal import (
+        _decode_one,
+        _png_encode_gray,
+    )
 
     fake = _struct.pack("<4sii", b"FAKE", 32, 16) + b"hello"
     w, h, feats = _decode_one(fake)
     assert (w, h) == (32, 16) and len(feats) == 4
 
-    img_mod, _snd_mod = _codec_modules()
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
-    if img_mod is None:
-        with _pytest.raises(NotImplementedError, match="image codec"):
-            _decode_one(png)
+    # a genuine PNG decodes on a codec-less worker via the stdlib path
+    png = _png_encode_gray(4, 2, bytes(range(8)))
+    w, h, feats = _decode_one(png)
+    assert (w, h) == (4, 2) and len(feats) == 4
+
+    # a bare signature with no IHDR is a corrupt file, not a codec gap
+    with _pytest.raises(ValueError, match="missing IHDR"):
+        _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     with _pytest.raises(ValueError, match="bad media magic"):
         _decode_one(b"ZZZZ" + b"\x00" * 16)
 
