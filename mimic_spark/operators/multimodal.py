@@ -7,8 +7,8 @@ batch shape, mapInPandas signatures.  The codec layer is per-format:
   r5) — exercised on genuine bytes in pytest; soundfile takes precedence
   when installed (covers non-PCM encodings too).
 - PNG: REAL decode, stdlib-only (`_png_decode_stdlib`, r6 — zlib inflate
-  + filter reconstruction, all color types/bit depths, non-interlaced);
-  PIL takes precedence when installed (adds Adam7 + every exotic case).
+  + filter reconstruction, all color types/bit depths, sequential AND
+  Adam7-interlaced); PIL takes precedence when installed (exotic cases).
 - JPEG: real decode via PIL when importable on the worker; a
   clearly-marked NotImplementedError otherwise (entropy decoding has no
   stdlib path).
@@ -189,15 +189,17 @@ def _png_decode_stdlib(payload: bytes) -> tuple[int, int, list[int]]:
     row-major) — the same contract as the PIL ``convert("L").getdata()``
     branch, so codec presence never changes downstream features.
 
-    Covers the full non-interlaced core of the spec: color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16;
-    all five row filters (None/Sub/Up/Average/Paeth).  Adam7 interlacing is
-    the one guarded gap (NotImplementedError) — training corpora are
-    overwhelmingly non-interlaced, and a clear error beats silently wrong
-    pixels.  RGB→L uses PIL's ITU-R 601-2 integer formula for parity with
-    the codec-ful path; alpha is dropped, as PIL's L conversion drops it.
-    Closes the r5 verdict Missing #1 stub (reference analog: the waveform
-    POC's binary-to-rows role, etl/staging/st_waveform_poc_1.sql:181-247).
+    Covers the full core of the spec: color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16; all five
+    row filters (None/Sub/Up/Average/Paeth); sequential AND Adam7-interlaced
+    pixel layout (r6 — each of the seven sub-images is an independently
+    filtered raster with its own stride, unfiltered then scattered onto the
+    spec's (x0,y0,dx,dy) grid; the sequential path is the degenerate single
+    full-frame pass of the same code).  RGB→L uses PIL's ITU-R 601-2
+    integer formula for parity with the codec-ful path; alpha is dropped,
+    as PIL's L conversion drops it.  Closes the r5 verdict Missing #1 stub
+    (reference analog: the waveform POC's binary-to-rows role,
+    etl/staging/st_waveform_poc_1.sql:181-247).
     """
     import struct as _struct
     import zlib as _zlib
@@ -223,62 +225,77 @@ def _png_decode_stdlib(payload: bytes) -> tuple[int, int, list[int]]:
             break
     if w is None:
         raise ValueError("not a PNG: missing IHDR")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype}")
     raw = _zlib.decompress(b"".join(idat))
     bits_pp = channels * depth
-    stride = (w * bits_pp + 7) // 8
     bpp = max(1, bits_pp // 8)  # filter distance, per spec
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-    # filter reconstruction, row by row (each row: 1 filter byte + stride)
-    recon = bytearray(h * stride)
-    prev_off = -stride
-    rpos = 0
-    for y in range(h):
-        f = raw[rpos]
-        off = y * stride
-        recon[off : off + stride] = raw[rpos + 1 : rpos + 1 + stride]
-        rpos += 1 + stride
-        if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for i in range(off + bpp, off + stride):
-                recon[i] = (recon[i] + recon[i - bpp]) & 0xFF
-        elif f == 2:  # Up
-            if y:
+
+    # pixel layout: sequential is one full-frame raster; Adam7 is seven
+    # sub-rasters on the spec's (x0, y0, dx, dy) grids, each filtered
+    # independently with its own stride (PNG 1.2 §2.6 / §8.2)
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+    )
+
+    def _unfilter(rpos: int, wp: int, hp: int) -> tuple[bytearray, int, int]:
+        # one sub-raster: hp rows of (1 filter byte + stride payload)
+        stride = (wp * bits_pp + 7) // 8
+        if len(raw) - rpos < hp * (stride + 1):
+            raise ValueError("truncated PNG pixel data")
+        recon = bytearray(hp * stride)
+        prev_off = -stride
+        for y in range(hp):
+            f = raw[rpos]
+            off = y * stride
+            recon[off : off + stride] = raw[rpos + 1 : rpos + 1 + stride]
+            rpos += 1 + stride
+            if f == 0:
+                pass
+            elif f == 1:  # Sub
+                for i in range(off + bpp, off + stride):
+                    recon[i] = (recon[i] + recon[i - bpp]) & 0xFF
+            elif f == 2:  # Up
+                if y:
+                    for i in range(off, off + stride):
+                        recon[i] = (recon[i] + recon[i + prev_off]) & 0xFF
+            elif f == 3:  # Average
                 for i in range(off, off + stride):
-                    recon[i] = (recon[i] + recon[i + prev_off]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(off, off + stride):
-                a = recon[i - bpp] if i - off >= bpp else 0
-                b = recon[i + prev_off] if y else 0
-                recon[i] = (recon[i] + ((a + b) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(off, off + stride):
-                a = recon[i - bpp] if i - off >= bpp else 0
-                b = recon[i + prev_off] if y else 0
-                c = recon[i + prev_off - bpp] if (y and i - off >= bpp) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                recon[i] = (
-                    recon[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
-                ) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter byte {f}")
+                    a = recon[i - bpp] if i - off >= bpp else 0
+                    b = recon[i + prev_off] if y else 0
+                    recon[i] = (recon[i] + ((a + b) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(off, off + stride):
+                    a = recon[i - bpp] if i - off >= bpp else 0
+                    b = recon[i + prev_off] if y else 0
+                    c = recon[i + prev_off - bpp] if (y and i - off >= bpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    recon[i] = (
+                        recon[i]
+                        + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                    ) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter byte {f}")
+        return recon, stride, rpos
 
     # samples -> 8-bit grayscale, row-major (PIL convert("L") parity)
-    def _row_samples(off: int) -> list[int]:
+    def _row_samples(recon: bytearray, off: int, wp: int) -> list[int]:
         if depth == 8:
-            return list(recon[off : off + w * channels])
+            return list(recon[off : off + wp * channels])
         if depth == 16:  # high byte, the standard 16->8 reduction
-            return list(recon[off : off + w * channels * 2 : 2])
+            return list(recon[off : off + wp * channels * 2 : 2])
         # sub-byte depths exist only for ctype 0 and 3 (1 channel)
         out, mask, per_byte = [], (1 << depth) - 1, 8 // depth
-        for k in range(w):
+        for k in range(wp):
             byte = recon[off + k // per_byte]
             shift = 8 - depth * (k % per_byte + 1)
             out.append((byte >> shift) & mask)
@@ -286,26 +303,39 @@ def _png_decode_stdlib(payload: bytes) -> tuple[int, int, list[int]]:
 
     # grayscale scale factors so max sample value maps to 255
     scale = {1: 255, 2: 85, 4: 17, 8: 1, 16: 1}[depth]
-    px: list[int] = []
-    for y in range(h):
-        s = _row_samples(y * stride)
+
+    def _gray_row(s: list[int]) -> list[int]:
         if ctype == 0:
-            px.extend(v * scale for v in s)
-        elif ctype == 4:  # gray+alpha: alpha dropped
-            px.extend(s[i] for i in range(0, len(s), 2))
-        elif ctype == 3:
+            return [v * scale for v in s]
+        if ctype == 4:  # gray+alpha: alpha dropped
+            return [s[i] for i in range(0, len(s), 2)]
+        if ctype == 3:
             if plte is None:
                 raise ValueError("palette PNG without PLTE chunk")
-            for v in s:
-                r, g, b = plte[3 * v], plte[3 * v + 1], plte[3 * v + 2]
-                px.append((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16)
-        else:  # 2 = RGB, 6 = RGBA (alpha dropped)
-            step = channels
-            for i in range(0, len(s), step):
-                px.append(
-                    (s[i] * 19595 + s[i + 1] * 38470 + s[i + 2] * 7471 + 0x8000)
-                    >> 16
-                )
+            return [
+                (plte[3 * v] * 19595 + plte[3 * v + 1] * 38470
+                 + plte[3 * v + 2] * 7471 + 0x8000) >> 16
+                for v in s
+            ]
+        # 2 = RGB, 6 = RGBA (alpha dropped)
+        return [
+            (s[i] * 19595 + s[i + 1] * 38470 + s[i + 2] * 7471 + 0x8000) >> 16
+            for i in range(0, len(s), channels)
+        ]
+
+    px = [0] * (w * h)
+    rpos = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # pass empty at this image size (spec: emits no data)
+        recon, stride, rpos = _unfilter(rpos, wp, hp)
+        for yy in range(hp):
+            row = _gray_row(_row_samples(recon, yy * stride, wp))
+            base = (y0 + yy * dy) * w + x0
+            for i, v in enumerate(row):
+                px[base + i * dx] = v
     return w, h, px
 
 

@@ -1200,22 +1200,24 @@ def test_snapshot_tags_protect_and_read(spark, tmp_table_dir):
     expire_snapshots(t, keep_last=2)
     assert tagged_v not in t.versions()
 
-def _make_png(w, h, rows, ctype, depth=8, filters=None, plte=None):
-    """Minimal reference PNG encoder for tests: `rows` is a list of h rows,
-    each a flat list of samples; applies the requested per-row filter
-    FORWARD, so decoding must genuinely invert Sub/Up/Average/Paeth."""
+def _png_chunk(tag, data):
     import struct as _struct
     import zlib as _zlib
 
-    def chunk(tag, data):
-        return (
-            _struct.pack(">I", len(data))
-            + tag
-            + data
-            + _struct.pack(">I", _zlib.crc32(tag + data))
-        )
+    return (
+        _struct.pack(">I", len(data))
+        + tag
+        + data
+        + _struct.pack(">I", _zlib.crc32(tag + data))
+    )
 
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+
+def _pack_filter_raster(w, rows, channels, depth, filters=None):
+    """Pack sample rows into scanline bytes and apply the requested per-row
+    filter FORWARD, so decoding must genuinely invert Sub/Up/Average/Paeth.
+    Returns the raw (pre-zlib) stream: h * (filter byte + stride bytes)."""
+    import struct as _struct
+
     bits_pp = channels * depth
     stride = (w * bits_pp + 7) // 8
     bpp = max(1, bits_pp // 8)
@@ -1231,7 +1233,7 @@ def _make_png(w, h, rows, ctype, depth=8, filters=None, plte=None):
             for k, v in enumerate(row):
                 b[k // per] |= v << (8 - depth * (k % per + 1))
             raws.append(bytes(b))
-    filters = filters or [0] * h
+    filters = filters or [0] * len(rows)
     out = bytearray()
     prev = bytes(stride)
     for f, line in zip(filters, raws):
@@ -1255,11 +1257,72 @@ def _make_png(w, h, rows, ctype, depth=8, filters=None, plte=None):
             enc[i] = (line[i] - pred) & 0xFF
         out += bytes([f]) + bytes(enc)
         prev = line
+    return bytes(out)
+
+
+def _make_png(w, h, rows, ctype, depth=8, filters=None, plte=None):
+    """Minimal reference PNG encoder for tests: `rows` is a list of h rows,
+    each a flat list of samples (sequential, non-interlaced layout)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    out = _pack_filter_raster(w, rows, channels, depth, filters)
     ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
-    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if plte:
-        png += chunk(b"PLTE", bytes(plte))
-    return png + chunk(b"IDAT", _zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+        png += _png_chunk(b"PLTE", bytes(plte))
+    return (
+        png
+        + _png_chunk(b"IDAT", _zlib.compress(out))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+_ADAM7 = [  # (x0, y0, dx, dy) per PNG 1.2 §2.6
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _make_png_adam7(w, h, rows, ctype, depth=8, plte=None):
+    """Adam7-interlaced reference encoder: slices the full-resolution sample
+    rows into the seven sub-images, packs+filters each independently (its
+    own stride and filter history, filters cycling 0..4 across pass rows to
+    exercise inversion inside passes), and concatenates the pass streams
+    into one IDAT with IHDR interlace=1."""
+    import struct as _struct
+    import zlib as _zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    out = b""
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass emits nothing, per spec
+        sub = []
+        for yy in range(hp):
+            full = rows[y0 + yy * dy]
+            sub.append(
+                [
+                    full[(x0 + i * dx) * channels + c]
+                    for i in range(wp)
+                    for c in range(channels)
+                ]
+            )
+        out += _pack_filter_raster(
+            wp, sub, channels, depth, [r % 5 for r in range(hp)]
+        )
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        png += _png_chunk(b"PLTE", bytes(plte))
+    return (
+        png
+        + _png_chunk(b"IDAT", _zlib.compress(out))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def test_png_decode_real_bytes(spark):
@@ -1316,17 +1379,17 @@ def test_png_decode_real_bytes(spark):
     )
     assert px == [0xAB, 0x01]
 
-    # interlaced is the one guarded gap: loud, never silently wrong
+    # unknown interlace methods stay loud (only 0 and 1 exist in the spec)
     import struct as _struct
     import zlib as _zlib
 
-    ihdr = _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)
     bad = (
         b"\x89PNG\r\n\x1a\n"
         + _struct.pack(">I", 13) + b"IHDR" + ihdr
         + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr))
     )
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace"):
         _png_decode_stdlib(bad)
 
     # the same bytes through _decode_one and the full Spark Arrow path
@@ -1348,4 +1411,87 @@ def test_png_decode_real_bytes(spark):
         .collect()[0]
     )
     assert out["dec_width"] == 3 and out["dec_height"] == 3
+    assert out["features"] == feats
+
+
+def test_png_adam7_interlaced_decode(spark):
+    """r6: Adam7-interlaced PNGs decode identically to their sequential
+    twins — seven independently-filtered sub-rasters scattered onto the
+    published (x0,y0,dx,dy) grid.  The 2x2 case is HAND-ASSEMBLED byte by
+    byte from the spec's pass table (independent of the test encoder), the
+    rest round-trip through `_make_png_adam7` at awkward geometries where
+    passes go empty or partial, and one interlaced payload runs the full
+    mapInPandas/Arrow path."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from mimic_spark.operators.multimodal import (
+        _decode_one,
+        _png_decode_stdlib,
+        decode_media_stub,
+    )
+
+    # --- hand-assembled 2x2 gray: passes 1/6/7 carry (0,0), (1,0), row 1;
+    # passes 2-5 are empty at this size and emit NOTHING (not even a
+    # filter byte) — the byte stream below encodes exactly that
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    idat = _zlib.compress(
+        b"\x00\x0a"      # pass 1: filter 0, pixel (0,0)=10
+        b"\x00\x14"      # pass 6: filter 0, pixel (1,0)=20
+        b"\x00\x1e\x28"  # pass 7: filter 0, pixels (0,1)=30 (1,1)=40
+    )
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _png_decode_stdlib(png2) == (2, 2, [10, 20, 30, 40])
+
+    # --- 8x8 gray, all seven passes populated, distinct values everywhere
+    rows8 = [[y * 8 + x for x in range(8)] for y in range(8)]
+    w, h, px = _png_decode_stdlib(_make_png_adam7(8, 8, rows8, ctype=0))
+    assert (w, h, px) == (8, 8, list(range(64)))
+
+    # --- 9x5 RGB: partial passes on both axes; must equal the sequential
+    # encoding of the same pixels (geometry is the thing under test)
+    rows_rgb = [
+        [(7 * (y * 9 + x) + c * 31) % 256 for x in range(9) for c in range(3)]
+        for y in range(5)
+    ]
+    seq = _png_decode_stdlib(_make_png(9, 5, rows_rgb, ctype=2))
+    lace = _png_decode_stdlib(_make_png_adam7(9, 5, rows_rgb, ctype=2))
+    assert lace == seq and (lace[0], lace[1]) == (9, 5)
+
+    # --- sub-byte depth (2-bit gray) with per-pass bit packing
+    rows2b = [[(x + y) % 4 for x in range(3)] for y in range(3)]
+    seq = _png_decode_stdlib(_make_png(3, 3, rows2b, ctype=0, depth=2))
+    lace = _png_decode_stdlib(_make_png_adam7(3, 3, rows2b, ctype=0, depth=2))
+    assert lace == seq
+    assert lace[2] == [((x + y) % 4) * 85 for y in range(3) for x in range(3)]
+
+    # --- 5x1 palette: h=1 leaves pass 7 (and 3/5) empty, passes 1/2/4/6
+    # cover all five pixels
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255, 0, 0, 0]
+    rows_p = [[0, 1, 2, 3, 4]]
+    seq = _png_decode_stdlib(_make_png(5, 1, rows_p, ctype=3, plte=plte))
+    lace = _png_decode_stdlib(_make_png_adam7(5, 1, rows_p, ctype=3, plte=plte))
+    assert lace == seq and lace[2] == [76, 150, 29, 255, 0]
+
+    # --- interlaced bytes through _decode_one and the Spark Arrow path
+    png_lace = _make_png_adam7(8, 8, rows8, ctype=0)
+    feats = _decode_one(png_lace)[2]
+    out = (
+        spark.createDataFrame(
+            [(1, "image", bytearray(png_lace))],
+            "doc_id long, media_type string, payload binary",
+        )
+        .mapInPandas(
+            decode_media_stub,
+            schema="doc_id long, media_type string, dec_width int, "
+            "dec_height int, features array<double>",
+        )
+        .collect()[0]
+    )
+    assert out["dec_width"] == 8 and out["dec_height"] == 8
     assert out["features"] == feats
