@@ -1414,6 +1414,76 @@ def test_png_decode_real_bytes(spark):
     assert out["features"] == feats
 
 
+def test_png_decode_property_roundtrip():
+    """Property-based PNG round-trip: random geometry × color type × bit
+    depth × per-row filters × (sequential | Adam7), encoded by the
+    reference encoder, must decode to the luminance raster computed
+    directly from the samples.  The decoder's geometry/filter/packing
+    logic is what varies; the luminance formula itself is pinned by the
+    hand-computed cases in test_png_decode_real_bytes."""
+    from hypothesis import given, settings, strategies as st
+
+    from mimic_spark.operators.multimodal import _png_decode_stdlib
+
+    def _lum(r, g, b):
+        return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+    @st.composite
+    def _png_case(draw):
+        w = draw(st.integers(1, 12))
+        h = draw(st.integers(1, 12))
+        ctype = draw(st.sampled_from([0, 2, 3, 4, 6]))
+        depth = draw(
+            st.sampled_from(
+                {0: [1, 2, 4, 8, 16], 3: [1, 2, 4, 8], 2: [8, 16],
+                 4: [8, 16], 6: [8, 16]}[ctype]
+            )
+        )
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        vmax = (1 << depth) - 1
+        rows = [
+            [draw(st.integers(0, vmax)) for _ in range(w * channels)]
+            for _ in range(h)
+        ]
+        filters = [draw(st.integers(0, 4)) for _ in range(h)]
+        plte = (
+            [draw(st.integers(0, 255)) for _ in range(3 * (vmax + 1))]
+            if ctype == 3
+            else None
+        )
+        interlaced = draw(st.booleans())
+        return w, h, ctype, depth, rows, filters, plte, interlaced
+
+    @settings(max_examples=60, deadline=None)
+    @given(_png_case())
+    def _check(case):
+        w, h, ctype, depth, rows, filters, plte, interlaced = case
+        png = (
+            _make_png_adam7(w, h, rows, ctype, depth=depth, plte=plte)
+            if interlaced
+            else _make_png(w, h, rows, ctype, depth=depth, filters=filters,
+                           plte=plte)
+        )
+        scale = {1: 255, 2: 85, 4: 17, 8: 1, 16: 1}[depth]
+        hi = (lambda v: v >> 8) if depth == 16 else (lambda v: v)
+        exp = []
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        for row in rows:
+            for i in range(0, len(row), channels):
+                if ctype == 0:
+                    exp.append(hi(row[i]) * scale)
+                elif ctype == 4:
+                    exp.append(hi(row[i]))
+                elif ctype == 3:
+                    v = row[i]
+                    exp.append(_lum(plte[3 * v], plte[3 * v + 1], plte[3 * v + 2]))
+                else:
+                    exp.append(_lum(hi(row[i]), hi(row[i + 1]), hi(row[i + 2])))
+        assert _png_decode_stdlib(png) == (w, h, exp)
+
+    _check()
+
+
 def test_png_adam7_interlaced_decode(spark):
     """r6: Adam7-interlaced PNGs decode identically to their sequential
     twins — seven independently-filtered sub-rasters scattered onto the
