@@ -243,6 +243,71 @@ def rebucket(table: SnapshotTable, new_n_buckets: int) -> dict:
     }
 
 
+def maybe_rebucket(
+    table: SnapshotTable,
+    max_rows_per_bucket: int | None = None,
+    auto: bool | None = None,
+) -> dict:
+    """Growth trigger for bucket-count evolution (r6 verdict Next #7):
+    ``n_buckets`` is static per table while a long-lived stream grows it,
+    so rows-per-bucket — and with it per-bucket rewrite cost, file sizes,
+    and read parallelism granularity — drifts without bound.  Mirrors
+    ``operators/sizing.py``'s data-driven posture for the storage layout.
+
+    Policy rides table props (so it is versioned state, like everything):
+    - ``rebucket.max_rows_per_bucket``: opt-in threshold; absent = off.
+    - ``rebucket.auto``: "true" -> rebucket online when the threshold is
+      crossed (doubling until rows/bucket <= threshold/2, headroom so the
+      trigger doesn't refire next batch); otherwise a
+      ``rebucket.recommended`` prop is committed once per distinct
+      recommendation and surfaced by the audit's bucket_layout check.
+
+    Cost when idle: one snapshot read, pure driver-side arithmetic over
+    footer row counts (no Spark job).  Row counts include still-live MoR
+    delta rows — intentionally: physical rows are what reads and rewrites
+    pay for, and the apply cadence runs this right after incremental
+    compaction anyway.  Args override the props for direct invocation."""
+    snap = table.snapshot()
+    props = snap.props
+    if max_rows_per_bucket is None:
+        v = props.get("rebucket.max_rows_per_bucket")
+        if v is None:
+            return {"checked": False}
+        max_rows_per_bucket = int(v)
+    if auto is None:
+        auto = str(props.get("rebucket.auto", "")).lower() in ("true", "1")
+    rows = [f.get("rows") for f in snap.files]
+    if any(r is None for r in rows):
+        # legacy entries without footer stats: can't size safely
+        return {"checked": False, "reason": "missing file row stats"}
+    total = sum(int(r) for r in rows)
+    n = table._n_buckets_from(props)
+    out = {
+        "checked": True,
+        "total_rows": total,
+        "n_buckets": n,
+        "max_rows_per_bucket": max_rows_per_bucket,
+        "triggered": total > max_rows_per_bucket * n,
+    }
+    if not out["triggered"]:
+        return out
+    new_n = n
+    headroom = max(max_rows_per_bucket // 2, 1)
+    while total > headroom * new_n:
+        new_n *= 2
+    if auto:
+        info = rebucket(table, new_n)
+        return {**out, "applied": True, **info}
+    if int(props.get("rebucket.recommended") or 0) != new_n:
+        table.commit(
+            base=snap,
+            op="rebucket-recommend",
+            files=snap.files,
+            props_update={"rebucket.recommended": new_n},
+        )
+    return {**out, "applied": False, "recommended": new_n}
+
+
 def compact_incremental(
     table: SnapshotTable,
     min_files: int = 4,

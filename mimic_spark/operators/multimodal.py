@@ -61,6 +61,16 @@ def _png_encode_gray(w: int, h: int, px: bytes) -> bytes:
     )
 
 
+def _png_pixel_source(t: str | None) -> bytes:
+    """64 grayscale pixel bytes derived from a document's text.  Always
+    non-empty: an empty/NULL text falls back to one NUL byte before tiling,
+    because ``b"" * n`` stays empty and a zero-pixel 8x8 PNG is invalid
+    (r6 ADVICE low — decode raised 'truncated PNG pixel data' for corpora
+    containing empty documents)."""
+    body = (t or "\x00").encode("utf-8")
+    return (body * (64 // max(len(body), 1) + 1))[:64]
+
+
 def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic media table: binary payloads derived from documents.
 
@@ -79,9 +89,9 @@ def synthesize_media(spark: SparkSession, sf: str) -> DataFrame:
             payloads = []
             for wi, hi, i, t in zip(w, h, pdf["doc_id"], pdf["text"]):
                 if i % 3 and i % 5 == 1:  # image row -> real PNG bytes
-                    body = t.encode("utf-8")
-                    px = (body * (64 // max(len(body), 1) + 1))[:64]
-                    payloads.append(_png_encode_gray(8, 8, px))
+                    payloads.append(
+                        _png_encode_gray(8, 8, _png_pixel_source(t))
+                    )
                 else:
                     payloads.append(
                         struct.pack("<4sii", b"FAKE", int(wi), int(hi))

@@ -87,6 +87,11 @@ REJECTS_SCHEMA = T.StructType(
 
 VALID_OPS = ("insert", "update", "delete")
 
+# healing fabricates at most this many ledger recovery markers per resume
+# (a genuine crash leaves a gap of 1; a bigger gap means the ledger table
+# itself was lost — same contract as changefeed.MAX_LEDGER_BACKFILL)
+MAX_LEDGER_BACKFILL = 1000
+
 
 def invalid_reason(
     keys: list[str] = KEYS, lsn_col: str = "lsn", op_col: str = "op"
@@ -238,17 +243,83 @@ class TranscriptCdc:
         )
         return deduped, lineage
 
+    def _remap_external(
+        self, external_id: int, domain: str, extra_props: dict | None
+    ) -> tuple[int, dict | None]:
+        """Map an externally-numbered batch onto the table's OWN contiguous
+        internal batch-id sequence (r6 ADVICE high).
+
+        External id sources — structured-streaming checkpoint epochs, chunk
+        indexes, replay sequences — are numbered by their producers, not by
+        this table, so two sources can hand out the SAME number for
+        different data: a replay batch minted at ledger-hwm+1 collides with
+        the id a resumed stream checkpoint assigns to its next REAL epoch,
+        and the merge's idempotence guard would then silently drop that
+        epoch while the checkpoint still commits it (permanent loss).  The
+        fix is the ``run_stream's handler remaps checkpoint epochs onto
+        ledger-derived ids`` option: every external domain allocates
+        internal ids from the table's ``last_batch_id`` (which rides each
+        data commit atomically), and per-domain high-watermark props
+        (``last_<domain>_id``) keep the external→internal skip decision
+        exactly-once per domain.  Internal ids stay dense 0..n, so the
+        ledger-continuity audit (A3) is untouched.
+
+        Returns (internal_batch_id, extra_props').  For a replayed external
+        id (<= the domain watermark) the COMMITTED internal id is returned:
+        the merge skips it and ``_record`` heals a crash-orphaned ledger
+        row, identical to the pre-remap recovery path."""
+        prop = f"last_{domain}_id"
+        props = self.table.props()
+        done_ext = int(props.get(prop, -1))
+        committed = int(props.get("last_batch_id", -1))
+        if external_id <= done_ext:
+            if committed < 0:
+                raise RuntimeError(
+                    f"{self.table_path}: domain watermark {prop}={done_ext} "
+                    f"exists but last_batch_id is unset — table props are "
+                    f"corrupt (restore the snapshot log before resuming)"
+                )
+            # ledger holes BELOW the committed head (lost/recreated ledger):
+            # heal them with recovery markers now — the normal _record call
+            # after the merge-skip only backfills the head id, and lineage
+            # for older internal ids is unknowable here.  Same bounded
+            # fabrication contract as the change feed's healing.
+            gap = committed - self._ledger_hwm
+            if gap > MAX_LEDGER_BACKFILL:
+                raise RuntimeError(
+                    f"{self.table_path}: ledger is {gap} batches behind "
+                    f"last_batch_id={committed}; a genuine crash leaves a "
+                    f"gap of 1 — restore the ledger table instead of "
+                    f"fabricating {gap} recovery markers"
+                )
+            while self._ledger_hwm < committed - 1:
+                self._record(self._ledger_hwm + 1, MergeResult(skipped=True), [])
+            return committed, extra_props
+        return committed + 1, {**(extra_props or {}), prop: int(external_id)}
+
     def apply_batch(
         self,
         batch: DataFrame,
         batch_id: int,
         extra_props: dict | None = None,
+        domain: str | None = None,
     ) -> MergeResult:
         """foreachBatch body. Idempotent per batch_id.
 
         extra_props ride the snapshot commit atomically with the data —
         consumers use this for cursors that must move exactly with the
-        applied batch (e.g. the change-feed source version)."""
+        applied batch (e.g. the change-feed source version).
+
+        domain: None means ``batch_id`` IS the table-internal id (callers
+        that already allocate from ``last_batch_id``, e.g. the change feed
+        and tests).  A domain name ("stream", "chunk", "replay") marks
+        ``batch_id`` as EXTERNAL — numbered by a checkpoint/chunk sequence
+        this table does not own — and remaps it onto the internal sequence
+        (see ``_remap_external``)."""
+        if domain is not None:
+            batch_id, extra_props = self._remap_external(
+                batch_id, domain, extra_props
+            )
         deduped, lineage = self.prepare(batch)
         # one pass over the source yields BOTH the per-bucket lineage rows and
         # the affected-bucket list for merge pruning (no separate distinct job)
@@ -299,11 +370,16 @@ class TranscriptCdc:
                 from mimic_spark.lakehouse.maintenance import (
                     compact,
                     expire_snapshots,
+                    maybe_rebucket,
                 )
 
                 for t in (self.ledger, self.metrics):
                     compact(t)
                     expire_snapshots(t, keep_last=2)
+                # bucket-layout growth trigger: no-op unless the table
+                # opted in via rebucket.* props (one snapshot read when
+                # idle — see maintenance.maybe_rebucket)
+                maybe_rebucket(self.table)
         return result
 
     def _quarantine(self, batch: DataFrame, batch_id: int, n: int) -> None:
@@ -374,6 +450,22 @@ class TranscriptCdc:
         (monotone), so rejects quarantined AFTER this call starts are left
         for the next call.
 
+        Ordering vs already-committed data (r6 ADVICE medium): fresh LSNs
+        would bypass the merge's ``s.lsn >= t._lsn`` staleness guard, so
+        before assigning them the replay drops any event whose ORIGINAL
+        lsn is below the target key's current ``_lsn`` — a rejected event
+        older than a newer committed update must not overwrite it.  Events
+        with a NULL original lsn carry no ordering information and pass
+        through; if that is wrong for a feed, the ``fix`` callback owns
+        dropping them (documented contract).
+
+        Batch id: allocated from the table's internal sequence
+        (``last_batch_id + 1``), never from ledger-hwm in an external id
+        domain — resumed stream epochs and chunk indexes are remapped onto
+        the same internal sequence by ``apply_batch(domain=...)``, so a
+        replay id can no longer collide with (and silently swallow) a
+        future real batch (r6 ADVICE high).
+
         Scale: the DLQ is bounded by the poison-ratio audit gate, so the
         single-partition row_number used for deterministic fresh LSNs is
         over a provably small set."""
@@ -388,7 +480,12 @@ class TranscriptCdc:
         pending = rej.filter(F.col("batch_id") > done)
         hi = pending.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
         if hi is None:
-            return {"replayed": 0, "re_rejected": 0, "batch_id": None}
+            return {
+                "replayed": 0,
+                "re_rejected": 0,
+                "dropped_stale": 0,
+                "batch_id": None,
+            }
 
         payload = [
             f for f in self.table.schema().fields
@@ -407,16 +504,45 @@ class TranscriptCdc:
         ).select("_dlq_batch", "e.*")
         if fix is not None:
             events = fix(events)
+        # staleness arbitration (see docstring): current per-key _lsn for
+        # just the replayed keys — semi-prune the table by the (small,
+        # broadcast) key set, then broadcast the pruned side back
+        ev_keys = events.select(*KEYS).dropna().distinct()
+        cur = (
+            self.table.read()
+            .join(F.broadcast(ev_keys), KEYS, "left_semi")
+            .select(*KEYS, F.col("_lsn").alias("_cur_lsn"))
+        )
+        n_after_fix = events.count()
+        events = (
+            events.join(F.broadcast(cur), KEYS, "left")
+            .filter(
+                F.col("_cur_lsn").isNull()
+                | F.col("lsn").isNull()
+                | (F.col("lsn") >= F.col("_cur_lsn"))
+            )
+            .drop("_cur_lsn")
+        )
+        n_kept = events.count()
+        # fully deterministic replay order (r6 ADVICE low): two same-key
+        # events with NULL lsns in one DLQ batch tie on every other sort
+        # key; a content hash over the whole event pins which value wins.
+        # Columns hash in NAME order — plan rewrites (the staleness join
+        # above reorders columns) must not change the tiebreak.
+        content = F.xxhash64(*[F.col(c) for c in sorted(events.columns)])
+        order = Window.orderBy(
+            "_dlq_batch",
+            F.coalesce(F.col("lsn"), F.lit(-1)),
+            *KEYS,
+            content.alias("_tiebreak"),
+        )
         wm = self.high_watermark()
         base_lsn = int(wm) if wm is not None else -1
-        order = Window.orderBy(
-            "_dlq_batch", F.coalesce(F.col("lsn"), F.lit(-1)), *KEYS
-        )
         batch = events.withColumn(
             "lsn", base_lsn + F.row_number().over(order)
         ).drop("_dlq_batch")
 
-        batch_id = self._ledger_hwm + 1
+        batch_id = int(self.table.props().get("last_batch_id", -1)) + 1
         result = self.apply_batch(batch, batch_id)
         n_replayed = pending.count()
         re_rejected = (
@@ -433,6 +559,7 @@ class TranscriptCdc:
         return {
             "replayed": int(n_replayed),
             "re_rejected": int(re_rejected),
+            "dropped_stale": int(n_after_fix - n_kept),
             "batch_id": batch_id,
             "rows_applied": int(result.rows_applied),
         }
@@ -555,6 +682,11 @@ def run_batched(
     Used by tests and the replay oracle; the streaming mode in cdc.py drives
     the same apply_batch through foreachBatch.  source: "parquet" (columnar
     chunks) or "wal_json" (Debezium-style JSON envelope lines).
+
+    Chunk indexes are EXTERNAL ids (domain="chunk"): they are remapped onto
+    the table's internal batch-id sequence, so already-applied chunks skip
+    idempotently while the internal sequence stays collision-free against
+    stream epochs and DLQ replays (r6 ADVICE high).
     """
     results = []
     for i, p in enumerate(chunk_paths):
@@ -569,5 +701,5 @@ def run_batched(
             batch = reader.parquet(p)
         else:
             raise ValueError(f"unknown changelog source: {source!r}")
-        results.append(cdc.apply_batch(batch, i))
+        results.append(cdc.apply_batch(batch, i, domain="chunk"))
     return results

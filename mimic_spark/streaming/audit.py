@@ -139,6 +139,26 @@ def run_audit(
             },
         )
 
+    # Bucket-layout report (informational, never fails the run): surfaces
+    # the rows-per-bucket drift and any pending rebucket recommendation
+    # committed by maintenance.maybe_rebucket — driver-side footer stats,
+    # no scan.
+    snap = cdc.table.snapshot()
+    frows = [f.get("rows") for f in snap.files]
+    total = sum(int(r) for r in frows if r is not None)
+    nb = cdc.table._n_buckets_from(snap.props)
+    rec = snap.props.get("rebucket.recommended")
+    rep.record(
+        "bucket_layout",
+        True,
+        {
+            "n_buckets": nb,
+            "total_rows": total,
+            "rows_per_bucket": round(total / nb, 1) if nb else None,
+            "rebucket_recommended": None if rec is None else int(rec),
+        },
+    )
+
     if rep.failures and fail_on_error:
         raise AuditError("; ".join(rep.failures))
     return rep

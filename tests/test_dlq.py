@@ -228,7 +228,12 @@ def test_dlq_replay_after_fix(spark, tmp_table_dir):
 
     # watermark advanced: a second replay has nothing pending
     res2 = cdc.replay_rejects(fix=fix)
-    assert res2 == {"replayed": 0, "re_rejected": 0, "batch_id": None}
+    assert res2 == {
+        "replayed": 0,
+        "re_rejected": 0,
+        "dropped_stale": 0,
+        "batch_id": None,
+    }
 
     # an unfixed replay re-quarantines under the NEW batch id (and those
     # rows become the next call's pending set — no silent loss)
@@ -277,3 +282,206 @@ def test_all_rejected_batch_on_mor_table(spark, tmp_table_dir):
     )
     assert {(r["conv_id"], r["turn_idx"])
             for r in cdc.read_published().collect()} == {("seed", 1), ("seed", 2)}
+
+
+def test_replay_id_never_collides_with_resumed_stream_epoch(
+    spark, tmp_table_dir
+):
+    """r6 ADVICE high: replay minted batch_id = ledger_hwm + 1, which is
+    exactly the epoch id a resumed stream checkpoint assigns to its NEXT
+    real micro-batch — the merge guard then silently skipped that epoch
+    while the checkpoint committed it (permanent loss).  With external-id
+    remapping (domain="stream"), the post-replay epoch must still apply."""
+    from mimic_spark.streaming.audit import run_audit
+
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "tcol"), n_buckets=2)
+    # stream epochs 0 and 1 (epoch 1 carries a poisoned event)
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [("s", 1, "user", "a", None, None, 10, "insert")], SCHEMA
+        ),
+        0,
+        domain="stream",
+    )
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [
+                ("s", 2, "user", "b", None, None, 11, "insert"),
+                ("p", 1, "user", "poison", None, None, 12, "bogus"),
+            ],
+            SCHEMA,
+        ),
+        1,
+        domain="stream",
+    )
+    assert cdc.read_rejects().count() == 1
+
+    # DLQ replay between stream sessions: allocates internal id 2
+    res = cdc.replay_rejects(
+        fix=lambda df: df.withColumn("op", F.lit("insert"))
+    )
+    assert res["rows_applied"] == 1 and res["batch_id"] == 2
+
+    # resumed stream: the checkpoint's next epoch id is 2 — the exact value
+    # the old code burned for the replay.  It must APPLY, not skip.
+    r = cdc.apply_batch(
+        spark.createDataFrame(
+            [("s", 3, "user", "after-replay", None, None, 20, "insert")],
+            SCHEMA,
+        ),
+        2,
+        domain="stream",
+    )
+    assert not r.skipped and int(r.rows_applied) == 1
+    pub = {
+        (x["conv_id"], x["turn_idx"]) for x in cdc.read_published().collect()
+    }
+    assert ("s", 3) in pub and ("p", 1) in pub
+    # a genuinely replayed epoch still skips (exactly-once intact)
+    assert cdc.apply_batch(
+        spark.createDataFrame(
+            [("s", 3, "user", "dup delivery", None, None, 20, "insert")],
+            SCHEMA,
+        ),
+        2,
+        domain="stream",
+    ).skipped
+    # internal ids stayed dense: ledger-continuity audit green
+    rep = run_audit(cdc, max_reject_ratio=None)
+    assert rep.checks["ledger_continuity"]["ok"]
+
+
+def test_replay_does_not_overwrite_newer_committed_value(
+    spark, tmp_table_dir
+):
+    """r6 ADVICE medium: fresh replay LSNs bypass the merge's staleness
+    guard, so a rejected event older than a later committed update for the
+    same key must be dropped by the replay's own arbitration — while
+    fresh-key rejects in the same replay still apply."""
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "tstale"), n_buckets=2)
+    # batch 0: poisoned event for ("k",1) at ORIGINAL lsn 5, plus a
+    # fresh-key poisoned event ("f",1) at lsn 6
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [
+                ("k", 1, "user", "old value", None, None, 5, "bogus"),
+                ("f", 1, "user", "fresh key", None, None, 6, "bogus"),
+            ],
+            SCHEMA,
+        ),
+        0,
+    )
+    # batch 1: a NEWER valid update for ("k",1) commits at lsn 10
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [("k", 1, "user", "newer value", None, None, 10, "insert")],
+            SCHEMA,
+        ),
+        1,
+    )
+    res = cdc.replay_rejects(
+        fix=lambda df: df.withColumn("op", F.lit("insert"))
+    )
+    assert res["dropped_stale"] == 1
+    assert res["rows_applied"] == 1 and res["re_rejected"] == 0
+    pub = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    assert pub[("k", 1)] == "newer value"  # NOT overwritten by the replay
+    assert pub[("f", 1)] == "fresh key"
+
+
+def test_replay_order_deterministic_for_null_lsn_ties(spark, tmp_table_dir):
+    """r6 ADVICE low: two same-key events with NULL LSNs in one DLQ batch
+    tied on every replay sort key, so which value won the merge was plan-
+    nondeterministic.  The content-hash tiebreak pins the winner: the event
+    whose xxhash64 over the replay row is larger gets the higher fresh LSN
+    and wins last-writer-wins."""
+    path = os.path.join(tmp_table_dir, "ttie")
+    cdc = TranscriptCdc(spark, path, n_buckets=2)
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [
+                ("n", 1, "user", "candidate A", None, None, None, "insert"),
+                ("n", 1, "user", "candidate B", None, None, None, "insert"),
+            ],
+            SCHEMA,
+        ),
+        0,
+    )
+    assert cdc.read_rejects().count() == 2  # both: null lsn
+    res = cdc.replay_rejects()
+    assert res["replayed"] == 2 and res["re_rejected"] == 0
+    got = {
+        r["text"] for r in cdc.read_published().collect()
+    }
+    assert len(got) == 1
+    # white-box twin of the replay's tiebreak: same column layout as the
+    # parsed replay rows (_dlq_batch + payload + lsn + op), larger
+    # xxhash64 -> higher fresh LSN -> wins
+    payload = [
+        f.name for f in cdc.table.schema().fields if not f.name.startswith("_")
+    ]
+    rows = cdc.read_rejects().select(
+        F.col("batch_id").alias("_dlq_batch"),
+        F.from_json(
+            "event",
+            ", ".join(
+                [f"{c} {cdc.table.schema()[c].dataType.simpleString()}" for c in payload]
+                + ["lsn long", "op string"]
+            ),
+        ).alias("e"),
+    ).select("_dlq_batch", "e.*")
+    expected = (
+        rows.withColumn(
+            "_h", F.xxhash64(*[F.col(c) for c in sorted(rows.columns)])
+        )
+        .orderBy(F.col("_h").desc())
+        .limit(1)
+        .collect()[0]["text"]
+    )
+    assert got == {expected}
+
+
+def test_run_batched_chunks_after_replay_still_apply(spark, tmp_table_dir):
+    """Batch-mode twin of the id-collision fix: chunk indexes are external
+    ids, so chunks arriving AFTER a DLQ replay must apply instead of being
+    swallowed by the replay's internal id, and earlier chunks still skip."""
+    spec = ChangelogSpec(n_events=2000, n_convs=40, n_chunks=4)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clra")
+    )
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "tra"), n_buckets=4)
+    run_batched(spark, cdc, chunks[:2])
+    wm = cdc.high_watermark()
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [("rr", 1, "user", "fixable", None, None, wm + 1, "bogus")],
+            SCHEMA,
+        ),
+        int(cdc.table.props()["last_batch_id"]) + 1,
+    )
+    res = cdc.replay_rejects(
+        fix=lambda df: df.withColumn("op", F.lit("insert"))
+    )
+    assert res["rows_applied"] == 1
+    results = run_batched(spark, cdc, chunks)  # 0-1 skip, 2-3 MUST apply
+    assert [r.skipped for r in results] == [True, True, False, False]
+
+    # final state = clean-path oracle (all chunks, no replay detour) plus
+    # the replayed row
+    oracle = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "tra_oracle"), n_buckets=4
+    )
+    run_batched(spark, oracle, chunks)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in oracle.read_published().collect()
+    }
+    want[("rr", 1)] = "fixable"
+    assert got == want
