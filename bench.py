@@ -49,6 +49,18 @@ HEADLINE = [
 
 CDC_BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "4000000"))
 
+# Pinned canary reference: the r6 bench pass recorded box_canary_sec=0.703
+# (spark.range(2e8) % 4096 hash-agg, noop sink, median of 3).  CDC numbers
+# are additionally reported normalized to that box speed so rounds compare
+# on equal terms (r6 verdict Next #3):
+#     cdc_normalized = raw_ev_per_sec * (canary_now / CANARY_REF_SEC)
+# Direction: throughput scales ~1/box-time, so on a SLOWER box
+# (canary_now > ref) the raw number normalizes UP to its
+# reference-box-equivalent.  Worked example: a box running 2x slower
+# measures ~half the ev/s and a ~1.406 s canary; x(1.406/0.703) restores
+# the reference-box figure.
+CANARY_REF_SEC = 0.703
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,6 +201,10 @@ def main() -> int:
             **median,
             "events_per_sec_samples": [s["events_per_sec"] for s in by_rate],
             "median_of": len(samples),
+            # box-speed-normalized throughput (see CANARY_REF_SEC note)
+            "events_per_sec_normalized": round(
+                median["events_per_sec"] * canary["sec"] / CANARY_REF_SEC, 1
+            ),
         }
     # MoR (+ amortized compaction) is the documented default posture for
     # write-hot streams at scale: COW degenerates to a full-table rewrite
@@ -214,7 +230,23 @@ def main() -> int:
     if os.path.exists(sf1_path):
         with open(sf1_path) as f:
             rec = json.load(f)
-        sf1 = {"recorded": True, **rec, "see": "tools/bench_sf1.py"}
+        # staleness marker (r6 verdict wrong #1: an old round's sf1 figure
+        # was embedded as if current).  bench_sf1.py stamps the git rev it
+        # measured; a mismatch against HEAD marks the block stale.
+        head = None
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, cwd=here, check=True,
+            ).stdout.strip()
+        except Exception:
+            pass
+        stale = (
+            rec.get("git_rev") is None
+            or head is None
+            or rec["git_rev"] != head
+        )
+        sf1 = {"recorded": True, "stale": stale, **rec, "see": "tools/bench_sf1.py"}
 
     scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
@@ -294,6 +326,10 @@ def main() -> int:
         "cdc": {
             "cow_events_per_sec": cdc_info["cow"]["events_per_sec"],
             "mor_events_per_sec": cdc_info["mor"]["events_per_sec"],
+            # canary-normalized (x canary_now/0.703, the pinned r6
+            # reference): cross-round comparable on this noisy box
+            "cow_normalized": cdc_info["cow"].get("events_per_sec_normalized"),
+            "mor_normalized": cdc_info["mor"].get("events_per_sec_normalized"),
             # actual successful samples (may be < requested after a flake)
             "median_of": min(
                 cdc_info[m].get("median_of", 0) for m in ("cow", "mor")
@@ -311,7 +347,11 @@ def main() -> int:
         ),
         "box_canary_sec": canary["sec"],
         "sf1": (
-            {"value": sf1.get("value"), "ratio": sf1.get("ratio_total")}
+            {
+                "value": sf1.get("value"),
+                "ratio": sf1.get("ratio_total"),
+                "stale": sf1.get("stale"),
+            }
             if sf1
             else None
         ),

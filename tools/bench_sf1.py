@@ -145,8 +145,25 @@ def main() -> int:
         n: (round(steady1[n] / steady01[n], 2) if steady01[n] else None)
         for n in HEADLINE
     }
+    # provenance stamp (r6 verdict wrong #1): bench.py marks the embedded
+    # block stale when this rev no longer matches HEAD
+    import datetime as dt
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(HERE), check=True,
+        ).stdout.strip()
+    except Exception:
+        rev = None
     rec = {
         "sf": 1.0,
+        "git_rev": rev,
+        "measured_at": dt.datetime.now(dt.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
         "tiled_from": src,
         "replicas": N_REPLICAS,
         "gen": gen,

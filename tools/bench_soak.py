@@ -1,0 +1,286 @@
+"""Sustained-throughput soak: ev/s vs table growth (r6 verdict Next #1).
+
+The 10^10-event metric (BASELINE.json) rests on short headline runs — a few
+dozen batches into an initially-empty table.  This tool runs ONE sustained
+CDC session (default 100M events in 50 batches, MoR, default incremental-
+compaction cadence, auto-rebucket enabled) into a single table and records
+per batch:
+
+  - apply seconds and events/sec (generation excluded: each chunk is
+    materialized to parquet OUTSIDE the timed region, applied, deleted —
+    disk stays O(one chunk));
+  - cumulative table rows / data files / snapshot version / n_buckets
+    (driver-side footer stats, no scan);
+  - ledger + metrics file counts (bounded by meta compaction);
+  - a box-speed canary every ``--canary-every`` batches, so the decay
+    verdict is normalized against within-run box drift (this box swings
+    25-35%% between phases on identical code).
+
+Verdict written into BENCH/soak.json:
+  plateau  = median normalized ev/s of batches 6..15
+  final    = median normalized ev/s of the last 10 batches
+  decay    = 1 - final/plateau            (pass bar: <= 0.10)
+
+Duplicate deliveries are preserved cross-chunk (every dup_every-th event of
+the previous chunk re-emitted), so the dedup + LSN-guard path stays
+load-bearing for the whole run.
+
+Usage:  python tools/bench_soak.py                # ~20-30 min
+        python tools/bench_soak.py --n-events 10000000 --n-batches 10  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+CANARY_REF_SEC = 0.703  # pinned r6 reference (see bench.py)
+
+
+def canary_sec(spark) -> float:
+    t0 = time.time()
+    (
+        spark.range(200_000_000)
+        .selectExpr("id % 4096 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.time() - t0, 3)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-events", type=int, default=100_000_000)
+    ap.add_argument("--n-batches", type=int, default=50)
+    ap.add_argument("--n-convs", type=int, default=2_500_000)
+    ap.add_argument("--parallelism", type=int, default=8)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--body-words", type=int, default=48)
+    ap.add_argument("--files-per-chunk", type=int, default=16)
+    ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument("--canary-every", type=int, default=10)
+    # rows/bucket growth trigger, live during the soak (0 = off)
+    ap.add_argument("--rebucket-threshold", type=int, default=250_000)
+    ap.add_argument(
+        "--workdir",
+        default=(
+            "/dev/shm/mimic_spark_soak"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/mimic_spark_soak"
+        ),
+    )
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(HERE), "BENCH", "soak.json"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from mimic_spark.session import get_spark
+    from mimic_spark.sources.changelog import ChangelogSpec, derive_event_df
+    from mimic_spark.streaming.apply import TranscriptCdc
+
+    spark = get_spark(
+        parallelism=args.parallelism,
+        app_name="bench_soak",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.local.dir": os.path.join(args.workdir, "spark_local"),
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(8 * 1024 * 1024),
+        },
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+    spec = ChangelogSpec(
+        n_events=args.n_events,
+        n_convs=args.n_convs,
+        n_chunks=args.n_batches,
+        body_words=args.body_words,
+    )
+    b_size = spec.chunk_size
+
+    def gen_chunk(b: int, path: str) -> None:
+        """Materialize chunk b (lsn range [b*B, (b+1)*B) plus the previous
+        chunk's duplicate re-deliveries) — outside the timed region."""
+        lo, hi = b * b_size, min((b + 1) * b_size, args.n_events)
+        base = spark.range(lo, hi).select(F.col("id").alias("lsn"))
+        ev = derive_event_df(base, spec).drop("batch_hint")
+        if lo > 0:
+            prev = spark.range(max(0, lo - b_size), lo).select(
+                F.col("id").alias("lsn")
+            )
+            dup = (
+                derive_event_df(prev, spec)
+                .drop("batch_hint")
+                .filter(F.pmod(F.col("lsn"), F.lit(spec.dup_every)) == 0)
+            )
+            ev = ev.unionByName(dup)
+        ev.repartition(args.files_per_chunk).write.mode("overwrite").parquet(
+            path
+        )
+
+    table = os.path.join(args.workdir, "transcripts_soak")
+    for suffix in ("", "_commits", "_metrics", "_rejects"):
+        shutil.rmtree(table + suffix, ignore_errors=True)
+    cdc = TranscriptCdc(
+        spark,
+        table,
+        n_buckets=args.n_buckets,
+        mode="mor",
+        compact_every=args.compact_every,
+    )
+    if args.rebucket_threshold:
+        s = cdc.table.snapshot()
+        cdc.table.commit(
+            base=s, op="props", files=s.files,
+            props_update={
+                "rebucket.max_rows_per_bucket": args.rebucket_threshold,
+                "rebucket.auto": "true",
+            },
+        )
+
+    def side_files(t) -> int:
+        try:
+            return len(t.snapshot().files)
+        except Exception:
+            return -1
+
+    batches = []
+    canaries = [{"batch": 0, "sec": canary_sec(spark)}]
+    chunk_dir = os.path.join(args.workdir, "chunk_current")
+    t_run0 = time.time()
+    for b in range(args.n_batches):
+        gen_chunk(b, chunk_dir)
+        lo, hi = b * b_size, min((b + 1) * b_size, args.n_events)
+        # exact duplicate count: multiples of dup_every in [lo - B, lo)
+        d = spec.dup_every
+        dups = 0 if b == 0 else (lo - 1) // d - (max(0, lo - b_size) - 1) // d
+        n_chunk = hi - lo + dups
+        t0 = time.time()
+        cdc.apply_batch(spark.read.parquet(chunk_dir), b, domain="chunk")
+        dt_apply = time.time() - t0
+        snap = cdc.table.snapshot()
+        rows = sum(int(f.get("rows") or 0) for f in snap.files)
+        rec = {
+            "batch": b,
+            "apply_sec": round(dt_apply, 2),
+            "events": n_chunk,
+            "events_per_sec": round(n_chunk / dt_apply, 1),
+            "table_rows": rows,
+            "table_files": len(snap.files),
+            "version": snap.version,
+            "n_buckets": cdc.table._n_buckets_from(snap.props),
+            "ledger_files": side_files(cdc.ledger),
+            "metrics_files": side_files(cdc.metrics),
+        }
+        batches.append(rec)
+        print(json.dumps(rec), file=sys.stderr)
+        if (b + 1) % args.canary_every == 0:
+            canaries.append({"batch": b + 1, "sec": canary_sec(spark)})
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+    total_sec = time.time() - t_run0
+
+    # normalized rate per batch: scale by the nearest (preceding) canary
+    def canary_at(b: int) -> float:
+        best = canaries[0]["sec"]
+        for c in canaries:
+            if c["batch"] <= b:
+                best = c["sec"]
+        return best
+
+    for rec in batches:
+        rec["events_per_sec_normalized"] = round(
+            rec["events_per_sec"] * canary_at(rec["batch"]) / CANARY_REF_SEC, 1
+        )
+
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if xs else None
+
+    plateau = median(
+        [r["events_per_sec_normalized"] for r in batches[6:16]]
+    )
+    final = median(
+        [r["events_per_sec_normalized"] for r in batches[-10:]]
+    )
+    decay = None if not plateau else round(1 - final / plateau, 4)
+    rebuckets = [
+        {"batch": b2["batch"], "from": b1["n_buckets"], "to": b2["n_buckets"]}
+        for b1, b2 in zip(batches, batches[1:])
+        if b1["n_buckets"] != b2["n_buckets"]
+    ]
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(HERE), check=True,
+        ).stdout.strip()
+    except Exception:
+        rev = None
+    out = {
+        "what": "sustained CDC soak: one MoR table, default maintenance, "
+        "auto-rebucket live; decay measured plateau (batches 6-15) vs "
+        "final 10, canary-normalized",
+        "git_rev": rev,
+        "measured_at": dt.datetime.now(dt.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "config": {
+            k: getattr(args, k.replace("-", "_"))
+            for k in (
+                "n_events", "n_batches", "n_convs", "parallelism",
+                "n_buckets", "body_words", "compact_every",
+                "rebucket_threshold",
+            )
+        },
+        "total_apply_wall_sec": round(total_sec, 1),
+        "overall_events_per_sec": round(
+            sum(r["events"] for r in batches)
+            / sum(r["apply_sec"] for r in batches),
+            1,
+        ),
+        "plateau_normalized": plateau,
+        "final_normalized": final,
+        "decay": decay,
+        "decay_pass_bar": 0.10,
+        "decay_pass": None if decay is None else bool(decay <= 0.10),
+        "rebucket_events": rebuckets,
+        "canaries": canaries,
+        "canary_ref_sec": CANARY_REF_SEC,
+        "batches": batches,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        json.dumps(
+            {
+                k: out[k]
+                for k in (
+                    "overall_events_per_sec",
+                    "plateau_normalized",
+                    "final_normalized",
+                    "decay",
+                    "decay_pass",
+                    "rebucket_events",
+                )
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
