@@ -327,30 +327,89 @@ def compact_incremental(
     just those makes the amortized compaction cost O(delta / min_delta_ratio)
     — proportional to what the stream actually wrote, not to table size.
 
-    A bucket qualifies when it has >1 file AND (its file count >=
-    ``min_files`` OR its delta rows >= ``min_delta_ratio`` x its base
-    rows, both from footer stats — no scan).  Cost: one bucket-pruned read
-    + one write over the selected buckets; commit is atomic as always.
-    Tombstones at-or-below ``gc_tombstones_below`` are dropped in the
-    rewritten buckets only (the rest keep theirs until selected later —
-    GC is monotone, never missed, because a bucket holding a tombstone has
-    >1 file until some compaction takes it)."""
+    Selection is COMPONENT-aligned: grouped delta files (bucket_grp/n_grps
+    entries, see ``SnapshotTable.write_data_files(group_files=)``) span many
+    buckets, so buckets are first merged into disjoint components (union-
+    find over each file's covered bucket set) — every file then falls fully
+    inside or fully outside a rewrite, which is what keeps the kept-files
+    computation exact.  With a uniform group layout the components are just
+    the G groups; with per-bucket files they are single buckets (the
+    original behavior).
+
+    A component qualifies when it has >1 file AND (its per-bucket read
+    amplification — the max number of files covering any ONE bucket in the
+    component — >= ``min_files``, OR its delta rows >= ``min_delta_ratio``
+    x its base rows, all from footer stats — no scan).  Read amplification
+    is the quantity min_files always bounded: for per-bucket files it
+    equals the bucket's file count (the original semantics), while a
+    grouped delta file adds 1 to every bucket it covers.  Cost: one
+    bucket-pruned read + one write over the selected buckets; commit is
+    atomic as always.  Tombstones at-or-below ``gc_tombstones_below`` are
+    dropped in the rewritten buckets only (the rest keep theirs until
+    selected later — GC is monotone, never missed, because a bucket holding
+    a tombstone has >1 file until some compaction takes it)."""
+    from mimic_spark.lakehouse.table import file_is_grouped
+
     base = table.snapshot()
-    by_bucket: dict[int, list[dict]] = {}
-    for fe in base.files:
-        by_bucket.setdefault(int(fe["bucket"]), []).append(fe)
+    nb = table._n_buckets_from(base.props)
+
+    def covered(fe: dict) -> list[int]:
+        if not file_is_grouped(fe):
+            return [int(fe["bucket"])]
+        g, G = int(fe["bucket_grp"]), int(fe["n_grps"])
+        return [b for b in range(nb) if b % G == g]
+
+    # union-find over buckets: one component per set of buckets whose files
+    # overlap transitively
+    parent = list(range(nb))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    file_cover = [covered(fe) for fe in base.files]
+    for cov in file_cover:
+        for b in cov[1:]:
+            parent[find(b)] = find(cov[0])
+    comp_files: dict[int, list[dict]] = {}
+    for fe, cov in zip(base.files, file_cover):
+        comp_files.setdefault(find(cov[0]), []).append(fe)
+    comp_buckets: dict[int, list[int]] = {}
+    for b in range(nb):
+        comp_buckets.setdefault(find(b), []).append(b)
+
     selected: list[int] = []
-    for b, fes in sorted(by_bucket.items()):
+    for root, fes in sorted(comp_files.items()):
         if len(fes) <= 1:
             continue
-        delta_rows = sum(int(f.get("rows") or 0) for f in fes if f.get("delta"))
+        delta_rows = sum(
+            int(f.get("rows") or 0) for f in fes if f.get("delta")
+        )
         base_rows = sum(
             int(f.get("rows") or 0) for f in fes if not f.get("delta")
         )
-        if len(fes) >= min_files or delta_rows >= min_delta_ratio * max(
+        # per-bucket read amplification: files covering each bucket
+        bucketed_at: dict[int, int] = {}
+        grp_counts: dict[tuple[int, int], int] = {}
+        for f in fes:
+            if file_is_grouped(f):
+                key = (int(f["bucket_grp"]), int(f["n_grps"]))
+                grp_counts[key] = grp_counts.get(key, 0) + 1
+            else:
+                b = int(f["bucket"])
+                bucketed_at[b] = bucketed_at.get(b, 0) + 1
+        amp = max(
+            bucketed_at.get(b, 0)
+            + sum(c for (g, G), c in grp_counts.items() if b % G == g)
+            for b in comp_buckets[root]
+        )
+        if amp >= min_files or delta_rows >= min_delta_ratio * max(
             base_rows, 1
         ):
-            selected.append(b)
+            selected.extend(comp_buckets[root])
+    selected.sort()
     if not selected:
         return {
             "version": base.version,
@@ -376,8 +435,11 @@ def compact_incremental(
     )
     for fe in new_files:
         fe["schema_id"] = base.schema_id
+    from mimic_spark.lakehouse.table import file_matches_buckets
+
     sel = set(selected)
-    kept = [f for f in base.files if int(f["bucket"]) not in sel]
+    # component-aligned selection => every file is fully in or fully out
+    kept = [f for f in base.files if not file_matches_buckets(f, sel)]
     snap = table.commit(
         base=base,
         op="compact-incremental",

@@ -147,12 +147,33 @@ class Snapshot:
     op: str
     schema_id: int
     schemas: dict[int, T.StructType]
-    files: list[dict[str, Any]]  # {"path": rel, "bucket": int, "schema_id": int}
+    # Two file-entry shapes (both carry "path", "schema_id", footer stats):
+    # - bucketed:  {"bucket": b}            — file holds exactly bucket b
+    # - grouped:   {"bucket_grp": g, "n_grps": G} — file holds every bucket
+    #   with b % G == g (MoR delta writes; see write_data_files(group_files=))
+    files: list[dict[str, Any]]
     props: dict[str, Any]
 
     @property
     def schema(self) -> T.StructType:
         return self.schemas[self.schema_id]
+
+
+def file_matches_buckets(fe: dict[str, Any], buckets: set[int]) -> bool:
+    """True when file entry ``fe`` may hold rows of any bucket in
+    ``buckets``.  Exact for both entry shapes: a bucketed entry holds one
+    bucket; a grouped delta entry (bucket_grp g of n_grps G) holds exactly
+    the buckets with ``b % G == g`` — the modulo mapping is self-describing
+    per entry, so mixed layouts (and layouts written under an older bucket
+    count) stay prunable without consulting table-level state."""
+    if "bucket" in fe:
+        return int(fe["bucket"]) in buckets
+    g, G = int(fe["bucket_grp"]), int(fe["n_grps"])
+    return any(b % G == g for b in buckets)
+
+
+def file_is_grouped(fe: dict[str, Any]) -> bool:
+    return "bucket" not in fe
 
 
 def _norm_ts_str(v: Any) -> str:
@@ -484,10 +505,31 @@ class SnapshotTable:
             version = self.version_of_tag(tag)
         snap = self.snapshot(self.current_version() if version is None else version)
         files = snap.files
+        row_filter = None
         if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
-        return self._read_files(snap, files, resolve)
+            bset = set(int(b) for b in buckets)
+            files = [f for f in files if file_matches_buckets(f, bset)]
+            if any(file_is_grouped(f) for f in files):
+                # grouped delta files hold sibling buckets too: file-level
+                # pruning alone would leak their rows into a bucket-scoped
+                # read (and a compaction rewrite would then DUPLICATE them).
+                # The bucket is key-derived, so a row filter under the
+                # snapshot's own bucket count is exact; it commutes with MoR
+                # resolution because every version of a key shares a bucket.
+                from mimic_spark.functions.hashing import bucket_expr
+
+                nb = self._n_buckets_from(snap.props)
+                row_filter = bucket_expr(self.key_cols, nb).isin(
+                    [int(b) for b in bset]
+                )
+        if row_filter is None:
+            return self._read_files(snap, files, resolve)
+        # filter BEFORE MoR resolution: it commutes (per-key resolution,
+        # bucket is key-derived) and shrinks the resolve input
+        out = self._read_files(snap, files, resolve=False).where(row_filter)
+        if resolve and any(f.get("delta") for f in files):
+            out = self._resolve_mor(out, snap.schema)
+        return out
 
     def _read_files(self, snap: Snapshot, files, resolve: bool) -> DataFrame:
         if not files:
@@ -571,16 +613,30 @@ class SnapshotTable:
             keys_by_bucket.setdefault(int(r["_b"]), []).append(
                 tuple(r[c] for c in self.key_cols)
             )
+        wanted = set(keys_by_bucket)
         in_buckets = [
-            f for f in snap.files if f["bucket"] in keys_by_bucket
+            f for f in snap.files if file_matches_buckets(f, wanted)
         ]
+
+        def _file_keys(f: dict[str, Any]) -> list[tuple]:
+            # keys this file could hold: its bucket's, or — for a grouped
+            # delta file — the union across the buckets its group covers
+            if "bucket" in f:
+                return keys_by_bucket[int(f["bucket"])]
+            g, G = int(f["bucket_grp"]), int(f["n_grps"])
+            return [
+                k
+                for b, ks in keys_by_bucket.items()
+                if b % G == g
+                for k in ks
+            ]
 
         def _maybe(f: dict[str, Any]) -> bool:
             if f.get("key_bloom") is None:
                 return True
             try:
                 return bloom_might_contain_any(
-                    f["key_bloom"], keys_by_bucket[f["bucket"]]
+                    f["key_bloom"], _file_keys(f)
                 )
             except Exception:
                 # blooms are an optimization, never a correctness gate: an
@@ -633,6 +689,7 @@ class SnapshotTable:
         version: int,
         sort_cols: list[str] | None = None,
         n_buckets: int | None = None,
+        group_files: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (must NOT contain _bucket) partitioned by derived bucket.
 
@@ -640,22 +697,50 @@ class SnapshotTable:
         bucket repartition so the sort survives into the files) — enables
         parquet row-group min/max pruning on those columns.
 
+        group_files=G: decouple physical file count from the logical bucket
+        count (the role Iceberg file layout plays vs its bucket transform).
+        Instead of one directory per bucket, rows land in G directories
+        ``_bgrp=<g>`` with ``g = bucket % G``, and each entry records
+        ``{"bucket_grp": g, "n_grps": G}``.  Without this, every MoR delta
+        batch writes ``n_buckets`` files regardless of batch size — after a
+        rebucket to thousands of buckets, a small micro-batch explodes into
+        thousands of tiny files (measured in the r7 soak: a 64->256 rebucket
+        cost ~20% steady throughput on file/task overhead alone) and the
+        manifest grows O(n_buckets) per batch.  With grouping, files per
+        batch is G — chosen from write parallelism / target file size, not
+        table layout.  Bucket-scoped readers prune by group (exact — see
+        file_matches_buckets) and apply a derived-bucket row filter.
+
         Returns file entries for a subsequent commit.  Files land under
-        ``data/c{version}-{uuid}/_bucket=<b>/`` — bucket is directory-encoded
-        only, never stored in the rows (hidden partitioning).  The uuid keeps
-        a crashed writer's orphan directory from blocking the retry (orphans
-        are unreferenced by any snapshot; GC'able by maintenance).
+        ``data/c{version}-{uuid}/_bucket=<b>/`` (or ``_bgrp=<g>/``) — bucket
+        is directory-encoded only, never stored in the rows (hidden
+        partitioning).  The uuid keeps a crashed writer's orphan directory
+        from blocking the retry (orphans are unreferenced by any snapshot;
+        GC'able by maintenance).
         """
         rel_dir = os.path.join("data", f"c{version:012d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         # n_buckets override: rebucket writes under the NEW count before the
         # commit that makes it official exists (no shared state mutated)
         nb = self.n_buckets if n_buckets is None else int(n_buckets)
-        staged = df.withColumn(
-            "_bucket", bucket_expr(self.key_cols, nb)
-        ).repartition(nb, "_bucket")
-        if sort_cols:
-            staged = staged.sortWithinPartitions(*sort_cols)
+        grouped = group_files is not None and int(group_files) < nb
+        if grouped:
+            G = max(1, int(group_files))
+            staged = df.withColumn(
+                "_bgrp", F.pmod(bucket_expr(self.key_cols, nb), F.lit(G))
+            ).repartition(G, "_bgrp")
+            # sort by key within each group file: parquet row-group stats
+            # (and the opt-in bloom) still prune point lookups inside the
+            # wider file
+            staged = staged.sortWithinPartitions(
+                *(sort_cols or self.key_cols)
+            )
+        else:
+            staged = df.withColumn(
+                "_bucket", bucket_expr(self.key_cols, nb)
+            ).repartition(nb, "_bucket")
+            if sort_cols:
+                staged = staged.sortWithinPartitions(*sort_cols)
         # opt-in per-file key blooms (serving tables; see lakehouse/bloom.py
         # for why min/max key stats can't prune hash-bucketed files).
         # Gated on encode-safe key types (str/bool/integral, plus ts/date
@@ -668,7 +753,8 @@ class SnapshotTable:
             "true",
             "1",
         ) and supported_key_types(self.schema(), self.key_cols)
-        writer = staged.write.partitionBy("_bucket").mode("error")
+        part_col = "_bgrp" if grouped else "_bucket"
+        writer = staged.write.partitionBy(part_col).mode("error")
         if want_bloom:
             # ALSO write a native parquet bloom on the leading key column
             # (Iceberg's write.parquet.bloom-filter-enabled.column.<c> role)
@@ -682,8 +768,9 @@ class SnapshotTable:
             ).option(f"parquet.bloom.filter.expected.ndv#{lead}", str(ndv))
         writer.parquet(out_dir)
         entries: list[dict[str, Any]] = []
+        prefix = part_col + "="
         for sub in sorted(os.listdir(out_dir)):
-            if not sub.startswith("_bucket="):
+            if not sub.startswith(prefix):
                 continue
             b = int(sub.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, sub))):
@@ -691,7 +778,11 @@ class SnapshotTable:
                     full = os.path.join(out_dir, sub, fn)
                     entry: dict[str, Any] = {
                         "path": os.path.join(rel_dir, sub, fn),
-                        "bucket": b,
+                        **(
+                            {"bucket_grp": b, "n_grps": G}
+                            if grouped
+                            else {"bucket": b}
+                        ),
                     }
                     entry.update(_footer_stats(full))
                     if want_bloom:

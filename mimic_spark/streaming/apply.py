@@ -155,10 +155,35 @@ class TranscriptCdc:
         normalize_col: str = "text",
         mode: str = "cow",
         compact_every: int = 8,
+        compact_min_files: int = 32,
+        compact_min_delta_ratio: float = 0.25,
     ):
         """mode: 'cow' (join + rewrite buckets) or 'mor' (append deltas,
         resolve on read; auto-compacted every `compact_every` batches —
-        bounds read amplification, like Iceberg MoR maintenance)."""
+        bounds read amplification, like Iceberg MoR maintenance).
+
+        compact_min_files / compact_min_delta_ratio: the cadence's
+        bucket-selection policy.  The ratio is the sustained-throughput
+        invariant (r7 soak root cause): a bucket rewrites only once its
+        delta backlog reaches `ratio` x its base rows, so total compaction
+        churn is amortized O(delta x (1+ratio)/ratio) — INDEPENDENT of
+        table size.  A low min_files (maintenance.compact_incremental's
+        standalone default is 4) silently defeats that bound: under
+        uniform keys every bucket gains one delta file per batch, so after
+        `compact_every` batches every bucket qualifies by file count alone
+        and each cadence degenerates to an O(table) full rewrite — the
+        measured soak decay grew a cadence from 32 s to 149 s as the table
+        grew 2M -> 50M rows.  min_files=32 keeps the file-count clause as
+        a pure read-amplification backstop (a bucket somehow covered by 32
+        files compacts regardless).
+
+        The soak's second decay source was the delta WRITE path: one file
+        per bucket per batch meant a rebucket multiplied per-batch file
+        count (64->256 cost ~20% steady throughput on task/file overhead).
+        MoR delta batches therefore write bucket-GROUPED files — see
+        ``SnapshotTable.write_data_files(group_files=)`` and the
+        ``delta.group_files`` table prop (default: write parallelism) —
+        so files per batch is independent of n_buckets."""
         self.spark = spark
         self.table_path = table_path.rstrip("/")
         self.n_buckets = n_buckets
@@ -166,6 +191,8 @@ class TranscriptCdc:
         self.normalize_col = normalize_col
         self.mode = mode
         self.compact_every = compact_every
+        self.compact_min_files = compact_min_files
+        self.compact_min_delta_ratio = compact_min_delta_ratio
         self._mor_batches = 0
         self._meta_batches = 0
         self._open_tables()
@@ -350,12 +377,18 @@ class TranscriptCdc:
                 # bucket-level incremental: rewrite only buckets whose
                 # delta backlog justifies it — amortized O(deltas), not
                 # O(table) per cadence (full `compact` stays available as
-                # an explicit maintenance action)
+                # an explicit maintenance action).  Policy from the
+                # constructor: see its docstring for why min_files must
+                # stay high here.
                 from mimic_spark.lakehouse.maintenance import (
                     compact_incremental,
                 )
 
-                compact_incremental(self.table)
+                compact_incremental(
+                    self.table,
+                    min_files=self.compact_min_files,
+                    min_delta_ratio=self.compact_min_delta_ratio,
+                )
         if not result.skipped:
             # The ledger/metrics tables gain one commit + one tiny file per
             # batch; without maintenance that is O(batches) manifest+file

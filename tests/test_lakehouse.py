@@ -1691,3 +1691,160 @@ def test_maybe_rebucket_noop_without_opt_in(spark, tmp_table_dir):
         2,
     )
     assert maybe_rebucket(t) == {"checked": False}
+
+
+# ---------- grouped MoR delta layout (r7: files per batch independent of
+# n_buckets — the soak's rebucket cost ~20% steady throughput on file/task
+# overhead when every delta batch wrote n_buckets tiny files) ----------
+
+
+def _grouped_cdc(spark, path, n_buckets=16, group_files=4):
+    """MoR table with the delta.group_files prop pinned (deterministic G
+    regardless of the test session's parallelism)."""
+    cdc = TranscriptCdc(
+        spark, path, n_buckets=n_buckets, mode="mor", compact_every=100
+    )
+    snap = cdc.table.snapshot()
+    cdc.table.commit(
+        base=snap,
+        op="set-props",
+        files=snap.files,
+        props_update={"delta.group_files": group_files},
+    )
+    return cdc
+
+
+def _apply_grouped_batches(spark, cdc, n_batches=4, per_batch=120):
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp, lsn long, op string")
+    lsn, expected = 0, {}
+    for b in range(n_batches):
+        rows = []
+        for i in range(per_batch):
+            c, t = f"c{(b * per_batch + i) % 90}", i % 3
+            rows.append((c, t, "user", f"v{b}-{i}", None, None, lsn, "update"))
+            expected[(c, t)] = f"v{b}-{i}"
+            lsn += 1
+        cdc.apply_batch(spark.createDataFrame(rows, schema), b)
+    return expected, lsn
+
+
+def test_mor_grouped_delta_files_bounded_and_correct(spark, tmp_table_dir):
+    """Delta file count per batch = G (not n_buckets); full read, bucket-
+    scoped read (no sibling-bucket leakage), and point lookup all exact."""
+    from mimic_spark.functions.hashing import bucket_expr
+    from mimic_spark.lakehouse.table import file_is_grouped
+
+    cdc = _grouped_cdc(spark, os.path.join(tmp_table_dir, "t"))
+    expected, _ = _apply_grouped_batches(spark, cdc)
+
+    snap = cdc.table.snapshot()
+    grouped = [f for f in snap.files if file_is_grouped(f)]
+    assert grouped, "grouping did not engage"
+    assert len(grouped) <= 4 * 4  # n_batches x G, never n_batches x 16
+    assert all(f.get("delta") for f in grouped)
+    assert all(0 <= f["bucket_grp"] < f["n_grps"] == 4 for f in grouped)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    assert got == expected
+
+    want = [1, 7, 12]
+    scoped = cdc.table.read(buckets=want)
+    b_expr = bucket_expr(["conv_id", "turn_idx"], 16)
+    leaked = (
+        scoped.withColumn("_b", b_expr)
+        .filter(~F.col("_b").isin(want))
+        .count()
+    )
+    assert leaked == 0
+    n_expect = (
+        cdc.table.read()
+        .withColumn("_b", b_expr)
+        .filter(F.col("_b").isin(want))
+        .count()
+    )
+    assert scoped.count() == n_expect
+
+    some = sorted(expected)[:4]
+    pl = cdc.table.read_for_keys(some)
+    assert {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in pl.collect()
+    } == {k: expected[k] for k in some}
+
+
+def test_compact_incremental_group_aligned_on_grouped_deltas(
+    spark, tmp_table_dir
+):
+    """Selection over grouped files is component-aligned: every file falls
+    fully in or out of the rewrite; values preserved; further merges and
+    deletes work after the transition back to bucketed files."""
+    from mimic_spark.lakehouse.maintenance import compact_incremental
+    from mimic_spark.lakehouse.table import file_is_grouped
+
+    cdc = _grouped_cdc(spark, os.path.join(tmp_table_dir, "t"))
+    expected, lsn = _apply_grouped_batches(spark, cdc)
+
+    res = compact_incremental(cdc.table, min_files=2)
+    assert res["buckets_rewritten"] > 0
+    snap = cdc.table.snapshot()
+    # paths referenced by the new snapshot are disjoint from rewritten ones
+    assert res["files_after"] == len(snap.files)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    assert got == expected
+
+    # deletes + another grouped batch after compaction still converge
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp, lsn long, op string")
+    some = sorted(expected)[:3]
+    rows = [
+        (c, t, "user", None, None, None, lsn + i, "delete")
+        for i, (c, t) in enumerate(some)
+    ]
+    cdc.apply_batch(spark.createDataFrame(rows, schema), 4)
+    for k in some:
+        del expected[k]
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    assert got == expected
+    assert any(file_is_grouped(f) for f in cdc.table.snapshot().files)
+
+
+def test_cow_merge_over_grouped_deltas_expands_to_group_closure(
+    spark, tmp_table_dir
+):
+    """A COW merge landing on a table with grouped delta files can neither
+    keep nor drop a file that straddles the affected buckets — the merge
+    must expand the rewrite to the group-aligned closure and stay exact."""
+    cdc = _grouped_cdc(spark, os.path.join(tmp_table_dir, "t"))
+    expected, lsn = _apply_grouped_batches(spark, cdc, n_batches=2)
+
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp, lsn long, op string")
+    k = sorted(expected)[0]
+    src = spark.createDataFrame(
+        [(k[0], k[1], "user", "cow-upsert", None, None, lsn, "update")],
+        schema,
+    )
+    from mimic_spark.streaming.apply import TranscriptCdc as _T
+
+    res = merge_into(
+        cdc.table,
+        src.drop("op").withColumn("op", F.lit("update")),
+        batch_id=99,
+        mode="cow",
+    )
+    assert not res.skipped
+    expected[k] = "cow-upsert"
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    assert got == expected
