@@ -221,32 +221,64 @@ def main() -> int:
             "see": "BENCH/BASELINE.md",
         }
 
-    # sf1 scale-trend point (r4 verdict #8): recorded by tools/bench_sf1.py
-    # (deterministic 10x tile of sf0.1, cold+steady for the 14 headline
-    # ops, per-op growth-ratio audit) — rerun with
-    #   python tools/bench_sf1.py        # ~6 min incl. generation
-    sf1 = None
-    sf1_path = os.path.join(here, "BENCH", "sf1.json")
-    if os.path.exists(sf1_path):
-        with open(sf1_path) as f:
-            rec = json.load(f)
-        # staleness marker (r6 verdict wrong #1: an old round's sf1 figure
-        # was embedded as if current).  bench_sf1.py stamps the git rev it
-        # measured; a mismatch against HEAD marks the block stale.
-        head = None
+    # Offline measurement records (sf1 scale trend, sustained soak, recall
+    # audit), each produced by its own tool on final round code.  Every
+    # record is stamped with the git rev it measured (r6 verdict wrong #1:
+    # an old round's sf1 figure was embedded as if current); a mismatch
+    # against HEAD marks the embedded block stale.
+    head = None
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, cwd=here, check=True,
+        ).stdout.strip()
+    except Exception:
+        pass
+
+    def _is_stale(rev):
+        """Stale iff measurement-relevant code changed since the record's
+        stamped rev.  Plain rev != HEAD would false-flag every record the
+        moment the record itself (or docs) is committed — the semantics
+        that matter are 'was THIS code measured', so compare the changed
+        paths: engine, tools, bench harness, driver entry."""
+        if rev is None or head is None:
+            return True
+        if rev == head:
+            return False
         try:
-            head = subprocess.run(
-                ["git", "rev-parse", "HEAD"],
+            out = subprocess.run(
+                ["git", "diff", "--name-only", f"{rev}..{head}"],
                 capture_output=True, text=True, cwd=here, check=True,
-            ).stdout.strip()
+            ).stdout.split()
         except Exception:
-            pass
-        stale = (
-            rec.get("git_rev") is None
-            or head is None
-            or rec["git_rev"] != head
+            return True  # unknown ancestry -> conservative
+        sensitive = ("mimic_spark/", "tools/")
+        exact = {"bench.py", "__spark_entry__.py"}
+        return any(
+            p.startswith(sensitive) or p in exact for p in out
         )
-        sf1 = {"recorded": True, "stale": stale, **rec, "see": "tools/bench_sf1.py"}
+
+    def stamped_record(name, tool):
+        path = os.path.join(here, "BENCH", name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            rec = json.load(f)
+        return {
+            "recorded": True,
+            "stale": _is_stale(rec.get("git_rev")),
+            **rec,
+            "see": tool,
+        }
+
+    # rerun with: python tools/bench_sf1.py   # ~6 min incl. generation
+    sf1 = stamped_record("sf1.json", "tools/bench_sf1.py")
+    # sustained-throughput soak (r6 verdict Next #1): >=100M events into one
+    # MoR table, decay plateau-vs-final, canary-normalized
+    soak = stamped_record("soak.json", "tools/bench_soak.py")
+    # LSH/IVF/minhash recall with sizing.py auto-derivation live, off the
+    # pinned 500-row point (r6 verdict Next #5)
+    recall = stamped_record("recall.json", "tools/recall_audit.py")
 
     scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
@@ -308,6 +340,8 @@ def main() -> int:
         "cdc_large_batch": large_batch,
         "cdc_scaling": scaling,
         "sf1": sf1,
+        "soak": soak,
+        "recall": recall,
         "box_canary": canary,
     }
     detail_path = os.path.join(here, "BENCH", "latest.json")
@@ -353,6 +387,25 @@ def main() -> int:
                 "stale": sf1.get("stale"),
             }
             if sf1
+            else None
+        ),
+        "soak": (
+            {
+                "decay": soak.get("decay"),
+                "pass": soak.get("decay_pass"),
+                "events": soak.get("config", {}).get("n_events"),
+                "stale": soak.get("stale"),
+            }
+            if soak
+            else None
+        ),
+        "recall": (
+            {
+                "pass": recall.get("all_pass"),
+                "scales": sorted(recall.get("scales", {})),
+                "stale": recall.get("stale"),
+            }
+            if recall
             else None
         ),
         "detail": "BENCH/latest.json",
