@@ -235,12 +235,13 @@ def main() -> int:
     except Exception:
         pass
 
-    def _is_stale(rev):
+    def _is_stale(rev, extra_exact=()):
         """Stale iff measurement-relevant code changed since the record's
         stamped rev.  Plain rev != HEAD would false-flag every record the
         moment the record itself (or docs) is committed — the semantics
         that matter are 'was THIS code measured', so compare the changed
-        paths: engine, tools, bench harness, driver entry."""
+        paths: engine + tools always; per-record extras (e.g. sf1 reuses
+        bench.py's HEADLINE list and the __spark_entry__ catalog)."""
         if rev is None or head is None:
             return True
         if rev == head:
@@ -253,12 +254,12 @@ def main() -> int:
         except Exception:
             return True  # unknown ancestry -> conservative
         sensitive = ("mimic_spark/", "tools/")
-        exact = {"bench.py", "__spark_entry__.py"}
+        exact = set(extra_exact)
         return any(
             p.startswith(sensitive) or p in exact for p in out
         )
 
-    def stamped_record(name, tool):
+    def stamped_record(name, tool, extra_exact=()):
         path = os.path.join(here, "BENCH", name)
         if not os.path.exists(path):
             return None
@@ -266,13 +267,17 @@ def main() -> int:
             rec = json.load(f)
         return {
             "recorded": True,
-            "stale": _is_stale(rec.get("git_rev")),
+            "stale": _is_stale(rec.get("git_rev"), extra_exact),
             **rec,
             "see": tool,
         }
 
     # rerun with: python tools/bench_sf1.py   # ~6 min incl. generation
-    sf1 = stamped_record("sf1.json", "tools/bench_sf1.py")
+    sf1 = stamped_record(
+        "sf1.json",
+        "tools/bench_sf1.py",
+        extra_exact=("bench.py", "__spark_entry__.py"),
+    )
     # sustained-throughput soak (r6 verdict Next #1): >=100M events into one
     # MoR table, decay plateau-vs-final, canary-normalized
     soak = stamped_record("soak.json", "tools/bench_soak.py")
