@@ -1848,3 +1848,78 @@ def test_cow_merge_over_grouped_deltas_expands_to_group_closure(
         for r in cdc.read_published().collect()
     }
     assert got == expected
+
+
+def test_rebucket_on_table_with_grouped_deltas(spark, tmp_table_dir):
+    """Online rebucket while grouped delta files are live: values preserved,
+    every entry rewritten bucketed under the NEW count, further grouped
+    merges land correctly against the new layout (the soak exercises this
+    at 20M rows; this is the fast deterministic twin)."""
+    from mimic_spark.lakehouse.maintenance import rebucket
+    from mimic_spark.lakehouse.table import file_is_grouped
+
+    cdc = _grouped_cdc(spark, os.path.join(tmp_table_dir, "t"))
+    expected, lsn = _apply_grouped_batches(spark, cdc, n_batches=3)
+    assert any(file_is_grouped(f) for f in cdc.table.snapshot().files)
+
+    info = rebucket(cdc.table, 32)
+    assert info["new_n_buckets"] == 32
+    snap = cdc.table.snapshot()
+    assert all(not file_is_grouped(f) for f in snap.files)
+    assert all(0 <= f["bucket"] < 32 for f in snap.files)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    assert got == expected
+
+    # further grouped merge against the new count (G=4 < 32 stays grouped)
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp, lsn long, op string")
+    k = sorted(expected)[0]
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [(k[0], k[1], "user", "post-rebucket", None, None, lsn, "update")],
+            schema,
+        ),
+        3,
+    )
+    expected[k] = "post-rebucket"
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in cdc.read_published().collect()
+    }
+    assert got == expected
+
+
+def test_grouped_time_travel_bucket_read_across_rebucket(
+    spark, tmp_table_dir
+):
+    """Bucket-scoped read of a PRE-rebucket version must hash keys under
+    that snapshot's own bucket count and row-filter grouped files under it
+    too — never the latest count."""
+    from mimic_spark.functions.hashing import bucket_expr
+    from mimic_spark.lakehouse.maintenance import rebucket
+
+    cdc = _grouped_cdc(spark, os.path.join(tmp_table_dir, "t"))
+    expected, _ = _apply_grouped_batches(spark, cdc, n_batches=2)
+    v_old = cdc.table.latest_version()
+    rebucket(cdc.table, 32)
+
+    want = [0, 5, 9]
+    old_scoped = cdc.table.read(version=v_old, buckets=want)
+    # oracle: full old read filtered by the OLD count's derived bucket
+    oracle = (
+        cdc.table.read(version=v_old)
+        .withColumn("_b", bucket_expr(["conv_id", "turn_idx"], 16))
+        .filter(F.col("_b").isin(want))
+        .drop("_b")
+    )
+    a = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in old_scoped.collect()
+    )
+    b = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in oracle.collect()
+    )
+    assert a == b and a  # non-empty and exact
