@@ -22,7 +22,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from mimic_spark.lakehouse.table import SnapshotTable
+from mimic_spark.lakehouse.table import CommitConflict, SnapshotTable
 
 
 def referenced_paths(table: SnapshotTable, versions: list[int]) -> set[str]:
@@ -243,30 +243,56 @@ def rebucket(table: SnapshotTable, new_n_buckets: int) -> dict:
     }
 
 
+# hard pacing bound for one auto-grow trigger: 3 doublings = 8x in a single
+# cadence is already a drastic layout change; anything asking for more in one
+# step is a misconfigured threshold or delta-inflated row counts, not growth
+MAX_DOUBLINGS_PER_TRIGGER = 3
+
+
 def maybe_rebucket(
     table: SnapshotTable,
     max_rows_per_bucket: int | None = None,
     auto: bool | None = None,
 ) -> dict:
-    """Growth trigger for bucket-count evolution (r6 verdict Next #7):
-    ``n_buckets`` is static per table while a long-lived stream grows it,
-    so rows-per-bucket — and with it per-bucket rewrite cost, file sizes,
-    and read parallelism granularity — drifts without bound.  Mirrors
+    """Growth AND shrink trigger for bucket-count evolution (r6 verdict
+    Next #7; shrink branch r7 verdict Next #6): ``n_buckets`` is static per
+    table while a long-lived stream grows it — or a heavy-delete table
+    (GDPR purges, retention) collapses under it — so rows-per-bucket, and
+    with it per-bucket rewrite cost, file sizes, and read planning
+    granularity, drifts without bound in either direction.  Mirrors
     ``operators/sizing.py``'s data-driven posture for the storage layout.
 
     Policy rides table props (so it is versioned state, like everything):
     - ``rebucket.max_rows_per_bucket``: opt-in threshold; absent = off.
-    - ``rebucket.auto``: "true" -> rebucket online when the threshold is
+    - ``rebucket.auto``: "true" -> GROW online when the threshold is
       crossed (doubling until rows/bucket <= threshold/2, headroom so the
       trigger doesn't refire next batch); otherwise a
       ``rebucket.recommended`` prop is committed once per distinct
       recommendation and surfaced by the audit's bucket_layout check.
+    - ``rebucket.max_n_buckets`` / per-call growth is ALSO hard-capped at
+      ``MAX_DOUBLINGS_PER_TRIGGER`` doublings (r7 ADVICE low): a
+      misconfigured threshold, or physical MoR delta rows inflating
+      ``total_rows`` with obsolete versions, must not trigger a synchronous
+      O(table) rewrite to a huge bucket count inside the apply cadence.
+      When the cap clips the target, the result carries ``capped`` and the
+      uncapped ``target_n`` so the clip is observable; the next cadence
+      resumes from the new count (growth stays monotone, just paced).
+    - SHRINK fires when rows/bucket falls below threshold/8 and is
+      recommend-ONLY unless ``rebucket.auto_shrink`` is "true" (never auto
+      by default — a shrink is a full O(table) rewrite purely for layout
+      hygiene, and footer row counts over-count live rows under MoR, so
+      the operator should GC/compact first and opt in).  The recommended
+      count halves until rows/bucket clears threshold/2, floored at
+      ``rebucket.min_n_buckets`` (default 16).
 
     Cost when idle: one snapshot read, pure driver-side arithmetic over
     footer row counts (no Spark job).  Row counts include still-live MoR
     delta rows — intentionally: physical rows are what reads and rewrites
     pay for, and the apply cadence runs this right after incremental
-    compaction anyway.  Args override the props for direct invocation."""
+    compaction anyway.  Args override the props for direct invocation.
+    Recommend-only commits are advisory: on a ``CommitConflict`` with a
+    concurrent writer they are dropped, not retried — the recommendation
+    re-derives on the next cadence (r7 ADVICE low)."""
     snap = table.snapshot()
     props = snap.props
     if max_rows_per_bucket is None:
@@ -289,23 +315,64 @@ def maybe_rebucket(
         "max_rows_per_bucket": max_rows_per_bucket,
         "triggered": total > max_rows_per_bucket * n,
     }
-    if not out["triggered"]:
-        return out
-    new_n = n
     headroom = max(max_rows_per_bucket // 2, 1)
-    while total > headroom * new_n:
-        new_n *= 2
-    if auto:
-        info = rebucket(table, new_n)
-        return {**out, "applied": True, **info}
-    if int(props.get("rebucket.recommended") or 0) != new_n:
-        table.commit(
-            base=snap,
-            op="rebucket-recommend",
-            files=snap.files,
-            props_update={"rebucket.recommended": new_n},
-        )
-    return {**out, "applied": False, "recommended": new_n}
+
+    def _recommend(new_n: int) -> None:
+        if int(props.get("rebucket.recommended") or 0) == new_n:
+            return
+        try:
+            table.commit(
+                base=snap,
+                op="rebucket-recommend",
+                files=snap.files,
+                props_update={"rebucket.recommended": new_n},
+            )
+        except CommitConflict:
+            # advisory only: a concurrent writer (or WAP-staged head) won —
+            # don't fail their stream batch over a recommendation that the
+            # next cadence re-derives from fresh footer stats anyway
+            pass
+
+    if out["triggered"]:
+        target_n = n
+        while total > headroom * target_n:
+            target_n *= 2
+        new_n = min(target_n, n << MAX_DOUBLINGS_PER_TRIGGER)
+        cap_prop = props.get("rebucket.max_n_buckets")
+        if cap_prop is not None:
+            new_n = min(new_n, max(int(cap_prop), n))
+        out["target_n"] = target_n
+        out["capped"] = new_n < target_n
+        if new_n <= n:
+            # max_n_buckets already reached: nothing to grow, stay put
+            return {**out, "applied": False, "recommended": None}
+        if auto:
+            info = rebucket(table, new_n)
+            return {**out, "applied": True, **info}
+        _recommend(new_n)
+        return {**out, "applied": False, "recommended": new_n}
+
+    # shrink branch: live rows collapsed well under the layout's sizing
+    min_n = int(props.get("rebucket.min_n_buckets") or 16)
+    if n > min_n and total * 8 < max_rows_per_bucket * n:
+        new_n = n
+        # halve while even the halved layout stays under the grow headroom
+        # (so a shrink never immediately re-triggers growth)
+        while new_n > min_n and total <= headroom * (new_n // 2):
+            new_n //= 2
+        new_n = max(new_n, min_n)
+        if new_n < n:
+            out["shrink"] = True
+            auto_shrink = str(props.get("rebucket.auto_shrink", "")).lower() in (
+                "true",
+                "1",
+            )
+            if auto_shrink:
+                info = rebucket(table, new_n)
+                return {**out, "applied": True, **info}
+            _recommend(new_n)
+            return {**out, "applied": False, "recommended": new_n}
+    return out
 
 
 def compact_incremental(

