@@ -193,8 +193,6 @@ class TranscriptCdc:
         self.compact_every = compact_every
         self.compact_min_files = compact_min_files
         self.compact_min_delta_ratio = compact_min_delta_ratio
-        self._mor_batches = 0
-        self._meta_batches = 0
         self._open_tables()
 
     def _open_tables(self) -> None:
@@ -396,9 +394,21 @@ class TranscriptCdc:
             extra_props=extra_props,
         )
         self._record(batch_id, result, lineage_rows)
+        # Maintenance cadences key on the table-INTERNAL batch id — monotone
+        # across restarts because it rides the table's own commit sequence —
+        # never on in-memory counters.  A per-instance counter resets to zero
+        # on every session, so a deployment whose stream sessions are shorter
+        # than `compact_every` epochs (exactly how checkpointed availableNow
+        # waves run) would never reach the cadence and read amplification
+        # would grow without bound: the r8 streaming soak measured table
+        # files +16/epoch linear and session wall 162 s -> 365 s before this
+        # was keyed on batch_id.
+        cadence_due = (
+            self.compact_every
+            and (batch_id + 1) % self.compact_every == 0
+        )
         if result.mode == "mor" and not result.skipped:
-            self._mor_batches += 1
-            if self.compact_every and self._mor_batches % self.compact_every == 0:
+            if cadence_due:
                 # bucket-level incremental: rewrite only buckets whose
                 # delta backlog justifies it — amortized O(deltas), not
                 # O(table) per cadence (full `compact` stays available as
@@ -423,8 +433,7 @@ class TranscriptCdc:
             # The rewrite is O(batches) tiny rows, trivial next to a data
             # batch; expiry keeps the _log dir bounded too (no time-travel
             # contract on bookkeeping tables).
-            self._meta_batches += 1
-            if self.compact_every and self._meta_batches % self.compact_every == 0:
+            if cadence_due:
                 from mimic_spark.lakehouse.maintenance import (
                     compact,
                     expire_snapshots,

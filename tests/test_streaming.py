@@ -201,6 +201,46 @@ def test_stream_mor_mode(spark, tmp_table_dir):
     assert _published_rows(cdc) == _oracle_rows(SPEC)
 
 
+def test_maintenance_cadence_survives_session_restarts(spark, tmp_table_dir):
+    """Maintenance cadence keys on the table-internal batch id, not an
+    in-memory counter (r8 streaming-soak finding): a fresh TranscriptCdc per
+    stream session — exactly what every run_stream invocation constructs —
+    previously reset the counter, so sessions shorter than compact_every
+    epochs NEVER compacted (measured: table files +16/epoch linear, session
+    wall 162 s -> 365 s over 50M events).  Three sessions of two batches
+    each with compact_every=3 must still fire the cadence twice."""
+    path = os.path.join(tmp_table_dir, "transcripts")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, op string"
+    )
+    lsn = 0
+    for session in range(3):
+        cdc = TranscriptCdc(
+            spark, path, n_buckets=4, mode="mor", compact_every=3
+        )
+        for b in range(2):
+            batch_id = session * 2 + b
+            rows = []
+            for i in range(30):
+                lsn += 1
+                rows.append(
+                    (f"s{session}b{b}_{i:03d}", 1, "user", f"v{lsn}",
+                     None, None, lsn, "insert")
+                )
+            cdc.apply_batch(spark.createDataFrame(rows, schema), batch_id)
+    # internal ids 2 and 5 are cadence points; both fall in sessions that
+    # applied only 2 batches, so a per-instance counter never reaches 3
+    ops = [s.op for s in cdc.table.history()]
+    assert "compact-incremental" in ops
+    # ledger/metrics fold on the same cadence: 6 appended batch rows must
+    # not mean 6 live files
+    assert len(cdc.ledger.snapshot().files) <= 2
+    assert len(cdc.metrics.snapshot().files) <= 2
+    # and the data itself is intact
+    assert cdc.read_published().count() == 180
+
+
 def test_normalize_arrow_equals_python_twin_fuzz():
     """_normalize_series (pyarrow/RE2 path) must stay byte-identical to
     normalize_text_py — the replay oracle depends on it. Fuzzes control
