@@ -281,9 +281,16 @@ def main() -> int:
     # sustained-throughput soak (r6 verdict Next #1): >=100M events into one
     # MoR table, decay plateau-vs-final, canary-normalized
     soak = stamped_record("soak.json", "tools/bench_soak.py")
+    # streaming-path soak (r7 verdict Next #1): the same decay bar through
+    # run_stream itself — WAL-JSON source, drift detection live, inline
+    # rollup, checkpointed epochs across sessions
+    soak_stream = stamped_record("soak_stream.json", "tools/bench_soak_stream.py")
     # LSH/IVF/minhash recall with sizing.py auto-derivation live, off the
     # pinned 500-row point (r6 verdict Next #5)
     recall = stamped_record("recall.json", "tools/recall_audit.py")
+    # per-op regression adjudication (r7 verdict Next #4): interleaved
+    # old/new A/B on the ops whose raw medians moved past canary drift
+    op_ab = stamped_record("ab_r8.json", "tools/ab_adjudicate.py")
 
     scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
@@ -346,7 +353,9 @@ def main() -> int:
         "cdc_scaling": scaling,
         "sf1": sf1,
         "soak": soak,
+        "soak_stream": soak_stream,
         "recall": recall,
+        "op_ab": op_ab,
         "box_canary": canary,
     }
     detail_path = os.path.join(here, "BENCH", "latest.json")
@@ -404,6 +413,19 @@ def main() -> int:
             if soak
             else None
         ),
+        "soak_stream": (
+            {
+                "decay": soak_stream.get("decay"),
+                "pass": soak_stream.get("decay_pass"),
+                "events": soak_stream.get("config", {}).get("n_events"),
+                "overhead_vs_batched": soak_stream.get(
+                    "streaming_overhead_vs_batched"
+                ),
+                "stale": soak_stream.get("stale"),
+            }
+            if soak_stream
+            else None
+        ),
         "recall": (
             {
                 "pass": recall.get("all_pass"),
@@ -411,6 +433,18 @@ def main() -> int:
                 "stale": recall.get("stale"),
             }
             if recall
+            else None
+        ),
+        "op_ab": (
+            {
+                "all_noise": op_ab.get("all_noise"),
+                "ratios": {
+                    n: v.get("ratio_new_over_old")
+                    for n, v in op_ab.get("ops", {}).items()
+                },
+                "stale": op_ab.get("stale"),
+            }
+            if op_ab
             else None
         ),
         "detail": "BENCH/latest.json",
