@@ -131,7 +131,6 @@ class IncrementalConvRollup:
         # window for downstream feeds tailing the rollup itself
         self.expire_every = expire_every
         self.keep_snapshots = keep_snapshots
-        self._polls_since_expire = 0
         # observability: how many polls needed an upstream reserve refill
         self.reserve_refills = 0
         if not SnapshotTable.exists(rollup_path):
@@ -512,12 +511,21 @@ class IncrementalConvRollup:
         )
         if result.skipped:
             return 0
-        self._polls_since_expire += 1
-        if self.expire_every and self._polls_since_expire >= self.expire_every:
+        # Expiry keys on the rollup's own SURVIVING snapshot count — the
+        # exact quantity it bounds — never on an in-memory poll counter: a
+        # fresh rollup instance per stream session (run_stream constructs
+        # one per invocation) resets a counter, so sessions shorter than
+        # expire_every polls would never expire and the rollup's _log/data
+        # would grow O(total polls) across restarts (the same bug class the
+        # r8 streaming soak exposed in the apply cadence).  versions() is
+        # one _log dir listing — O(retained), and retention is what this
+        # bounds.
+        if self.expire_every and len(self.table.versions()) >= (
+            self.keep_snapshots + self.expire_every
+        ):
             from mimic_spark.lakehouse.maintenance import expire_snapshots
 
             expire_snapshots(self.table, keep_last=self.keep_snapshots)
-            self._polls_since_expire = 0
         return n_changed
 
     def run_until_idle(self, max_polls: int = 1000) -> int:

@@ -379,6 +379,32 @@ def test_rollup_snapshot_retention_bounded(spark, tmp_table_dir):
     assert n_files <= live * (2 + 3)
 
 
+def test_rollup_retention_bounded_across_session_restarts(spark, tmp_table_dir):
+    """Expiry keys on the rollup's surviving snapshot count, not an
+    in-memory poll counter (r8 streaming-soak bug class): a FRESH rollup
+    instance per wave — run_stream constructs one per invocation — must
+    still expire even though each instance polls fewer than expire_every
+    times."""
+    spec = ChangelogSpec(n_events=1600, n_convs=30, n_chunks=8)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clrr")
+    )
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "uprr"), n_buckets=2,
+        mode="mor", compact_every=0,
+    )
+    roll_path = os.path.join(tmp_table_dir, "rollrr")
+    for i in range(len(chunks)):  # one instance per wave: 1 poll each
+        run_batched(spark, up, chunks[: i + 1])
+        roll = IncrementalConvRollup(
+            spark, up.table_path, roll_path,
+            n_buckets=2, expire_every=3, keep_snapshots=2,
+        )
+        roll.run_until_idle()
+    assert _materialized(roll) == _recompute(up)
+    assert len(roll.table.versions()) <= 2 + 3
+
+
 def test_rollup_survives_upstream_compaction(spark, tmp_table_dir):
     """Compaction rewrites every row into new files; the re-emitted
     unchanged rows must zero out (no delta) and the rollup must stay
