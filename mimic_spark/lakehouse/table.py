@@ -58,6 +58,12 @@ class CommitConflict(Exception):
 # spark.wap.id role (stage-commit -> audit -> cherry-pick publish).
 WAP_STAGED_PROP = "wap.staged"
 
+# Commit ops whose file rewrites preserve logical table content exactly —
+# the set changed_data_files() excludes from incremental reads.  Anything
+# NOT listed here is conservatively treated as data (rollback included:
+# re-publishing old files IS a logical change).
+MAINTENANCE_OPS = frozenset({"compact", "compact-incremental", "rebucket"})
+
 
 _NUMERIC_WIDTH = {
     "byte": 0,
@@ -1023,6 +1029,54 @@ class SnapshotTable:
         else:
             prev_paths = {f["path"] for f in self.snapshot(from_version).files}
         return snap, [f for f in snap.files if f["path"] not in prev_paths]
+
+    def changed_data_files(
+        self, from_version: int, to_version: int | None = None
+    ) -> tuple[Snapshot, list[dict[str, Any]]]:
+        """(snapshot at to_version, files carrying LOGICAL change after
+        from_version) — the incremental-read planner for feed consumers.
+
+        Like ``changed_files``, but walks the version chain and attributes
+        each added file to the version that added it, EXCLUDING files
+        written by content-preserving maintenance rewrites
+        (compaction / rebucket): those re-emit every row they rewrite for a
+        logically-empty delta, so a consumer folding them pays O(table) per
+        maintenance cadence.  The r8 streaming soak measured exactly that —
+        rollup polls at compaction epochs cost 135-160 s and grew with the
+        table, while the logical delta was zero.
+
+        Still a pure driver-side manifest walk (no Spark job), O(window)
+        manifest reads.  Soundness notes:
+
+        - a file added by a DATA version then compacted away later in the
+          window is still returned: it exists on disk until orphan GC, and
+          snapshot retention bounds the window (an expired mid-window
+          snapshot raises FileNotFoundError, same loud path as
+          ``changed_files`` on an expired ``from_version``);
+        - WAP-staged versions are invisible until published: a staged
+          snapshot is skipped outright, and the published-content path set
+          is tracked from non-staged versions only, so the publish version
+          (whose op is not a maintenance op) surfaces the staged files;
+        - ``from_version < 0`` returns the full current file list — the
+          live snapshot IS the logical content for a bootstrap, compacted
+          layout included."""
+        snap = self.snapshot(to_version)
+        if from_version < 0:
+            return snap, list(snap.files)
+        out: list[dict[str, Any]] = []
+        prev = {f["path"] for f in self.snapshot(from_version).files}
+        for v in range(from_version + 1, snap.version + 1):
+            s_v = self.snapshot(v)
+            if WAP_STAGED_PROP in s_v.props:
+                continue  # unpublished; surfaces at the publish version
+            added = [f for f in s_v.files if f["path"] not in prev]
+            if s_v.op not in MAINTENANCE_OPS:
+                out.extend(added)
+            prev = {f["path"] for f in s_v.files}
+        # a path can re-enter across the window (rollback re-publishing an
+        # old file): keep one manifest entry per path, the latest
+        dedup: dict[str, dict[str, Any]] = {f["path"]: f for f in out}
+        return snap, list(dedup.values())
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         """Rename a (non-key) column — metadata-only schema evolution.

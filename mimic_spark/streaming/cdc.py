@@ -55,6 +55,7 @@ def run_stream(
     source: str = "parquet",
     rollup_path: str | None = None,
     rollup_n_buckets: int = 16,
+    rollup_every: int = 1,
 ) -> TranscriptCdc:
     """Process all currently-available changelog files, then stop
     (availableNow trigger). Re-invoke with the same checkpoint_dir to resume.
@@ -72,7 +73,20 @@ def run_stream(
     its own table's commit, so a crash between the data apply and the
     rollup poll just leaves the rollup one version behind — the next
     batch's poll (or any later one) folds both versions in.  The rollup
-    handle is exposed as ``cdc.rollup`` on the returned object."""
+    handle is exposed as ``cdc.rollup`` on the returned object.
+
+    rollup_every: refresh the rollup every Nth applied batch (default 1 =
+    after every batch), plus ONE catch-up fold when the session's
+    available data is drained — a finished session always leaves the
+    rollup current; mid-session staleness is bounded by rollup_every
+    epochs.  This is the continuous-aggregate refresh-cadence knob
+    (TimescaleDB refresh-policy / Materialize tick role): each fold must
+    read the touched conversations' prior state, and a workload touching
+    every conversation every batch makes that Ω(touched keys' live state)
+    per fold no matter the engine — the cadence amortizes it over N
+    batches.  The fold itself is window-size agnostic (a multi-version
+    window folds exactly like N single-version polls), so correctness is
+    unaffected."""
     cdc = TranscriptCdc(
         spark, table_path, n_buckets=n_buckets, mode=mode, compact_every=compact_every
     )
@@ -102,9 +116,9 @@ def run_stream(
         # batch-id sequence so a DLQ replay between stream sessions can
         # never mint the id of the next resumed epoch (r6 ADVICE high)
         cdc.apply_batch(batch_df, batch_id, domain="stream")
-        if roll is not None:
-            roll.run_until_idle()
         state["applied"] += 1
+        if roll is not None and state["applied"] % max(1, rollup_every) == 0:
+            roll.run_until_idle()
 
     if source == "wal_json":
         stream = spark.readStream.option(
@@ -125,6 +139,12 @@ def run_stream(
         .start()
     )
     q.awaitTermination()
+    if roll is not None:
+        # catch-up fold: whatever the per-batch cadence left pending, a
+        # drained session hands off a CURRENT rollup (a crash before this
+        # point just leaves the rollup <= rollup_every versions behind —
+        # the next session's first fold converges it, same as ever)
+        roll.run_until_idle()
     # per-epoch observability for soak/bench tooling: Structured Streaming's
     # own progress events (batchId, numInputRows, durationMs.*) — the
     # engine-level truth about what each trigger cost, no extra timers

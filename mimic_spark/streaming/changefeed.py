@@ -90,8 +90,9 @@ class ChangeFeedConsumer:
 
         ``rows_behind`` is the footer-stat row sum of upstream data files
         not yet covered by the cursor — an upper bound on rows the next
-        polls will scan (a compaction's rewritten files count as new, same
-        caveat as the incremental read itself).  No Spark job."""
+        polls will scan (op-aware like the read itself: compaction/rebucket
+        rewrites carry no logical change and are not counted).  No Spark
+        job."""
         last_v = self.cursor()
         cur_v = self.upstream.current_version()
         if cur_v <= last_v:
@@ -103,7 +104,7 @@ class ChangeFeedConsumer:
                 "files_behind": 0,
             }
         try:
-            _, new_files = self.upstream.changed_files(last_v, cur_v)
+            _, new_files = self.upstream.changed_data_files(last_v, cur_v)
         except FileNotFoundError:
             new_files = list(self.upstream.snapshot(cur_v).files)
         return {
@@ -172,14 +173,15 @@ class ChangeFeedConsumer:
         """Largest to-version within this poll's bounds (driver-side only).
 
         Walks the upstream manifests oldest-first, charging each version
-        the footer rows of files not seen at any earlier version (so a
-        compaction's carried-over files are charged once, like the read
-        itself).  Always returns at least the first available version past
-        the cursor — a single oversized version still gets applied alone
-        rather than stalling the feed."""
+        the footer rows of files not seen at any earlier version; versions
+        whose op is a content-preserving maintenance rewrite charge
+        nothing (the read itself skips their files).  Always returns at
+        least the first available version past the cursor — a single
+        oversized version still gets applied alone rather than stalling
+        the feed."""
         if self.max_versions_per_poll is None and self.max_rows_per_poll is None:
             return cur_v
-        from mimic_spark.lakehouse.table import WAP_STAGED_PROP
+        from mimic_spark.lakehouse.table import MAINTENANCE_OPS, WAP_STAGED_PROP
 
         # never pin a WAP-staged version as a poll target: a staged-then-
         # ABORTED snapshot's files appear in no published snapshot, and
@@ -204,12 +206,10 @@ class ChangeFeedConsumer:
                 pass  # poll_once fails loud on the actual diff read
         target, rows = vs[0], 0
         for v in vs:
-            new = [
-                f
-                for f in self.upstream.snapshot(v).files
-                if f["path"] not in seen
-            ]
-            rows += sum(int(f.get("rows") or 0) for f in new)
+            s_v = self.upstream.snapshot(v)
+            new = [f for f in s_v.files if f["path"] not in seen]
+            if s_v.op not in MAINTENANCE_OPS:
+                rows += sum(int(f.get("rows") or 0) for f in new)
             seen.update(f["path"] for f in new)
             if rows > self.max_rows_per_poll and v != vs[0]:
                 break
@@ -239,7 +239,12 @@ class ChangeFeedConsumer:
             return 0
         cur_v = self._poll_target(last_v, cur_v)
         try:
-            snap, new_files = self.upstream.changed_files(last_v, cur_v)
+            # op-aware diff: compaction/rebucket rewrites carry no logical
+            # change and are EXCLUDED — an upstream compaction otherwise
+            # makes the next poll re-merge every rewritten row downstream
+            # (converges via the LSN guard, but costs O(table) per upstream
+            # maintenance cadence)
+            snap, new_files = self.upstream.changed_data_files(last_v, cur_v)
         except FileNotFoundError as e:
             # the cursor's snapshot was expired by upstream retention: the
             # version diff is gone, so an incremental read would silently

@@ -53,10 +53,12 @@ per-row LSN guard uses the upstream snapshot version too — monotone per
 poll, so replayed/late polls can never regress a newer rollup row.
 
 Pairing note: a MoR upstream feeds O(batch) diff rows per poll (delta
-files are exactly the batch).  A COW upstream's merge rewrites whole
-buckets, so its version diff re-emits every row of the touched buckets —
-still CORRECT here (unchanged rows zero out in the delta join, the same
-way compaction re-emits do) but proportionally more expensive; write-hot
+files are exactly the batch — and the poll plans with
+``changed_data_files``, so compaction/rebucket rewrites, which re-emit
+every row for a logically-empty delta, never reach the fold at all).  A
+COW upstream's merge rewrites whole buckets, so its version diff re-emits
+every row of the touched buckets — still CORRECT here (unchanged rows
+zero out in the delta join) but proportionally more expensive; write-hot
 streams should maintain rollups off MoR tables, the documented default.
 """
 
@@ -151,14 +153,22 @@ class IncrementalConvRollup:
     @staticmethod
     def _contrib(df: DataFrame) -> DataFrame:
         """Per-key aggregate contribution: a live row contributes (1 turn,
-        len(text) chars); a tombstone or absent row contributes zero."""
+        len(text) chars); a tombstone or absent row contributes zero.
+        A frame carrying ``_text_len`` (the payload-pruned old-value scan)
+        contributes that precomputed length — the body never rides the
+        shuffle."""
         live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+        chars = (
+            F.col("_text_len")
+            if "_text_len" in df.columns
+            else F.length("text")
+        )
         return df.select(
             "conv_id",
             "turn_idx",
             F.col("_lsn").cast("long").alias("lsn"),
             F.when(live, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("turns"),
-            F.when(live, F.coalesce(F.length("text"), F.lit(0)))
+            F.when(live, F.coalesce(chars, F.lit(0)))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("chars"),
@@ -221,8 +231,36 @@ class IncrementalConvRollup:
             .distinct()
             .collect()
         )
-        base = self.upstream.read(version=last_v, buckets=buckets)
-        return base.join(kdf, ["conv_id", "turn_idx"], "left_semi")
+        # Join-then-resolve, slimmed (r8 streaming-soak steady-state decay
+        # fix).  The naive shape — resolve the whole pinned version, then
+        # semi-join — runs the MoR row_number window over EVERY live row
+        # with full text payloads attached: O(table) shuffle+sort per poll,
+        # growing with the upstream (measured: steady epochs 37 s -> 60 s
+        # as the table grew 9M -> 42M rows).  Per-key resolution commutes
+        # with a key semi-join (all versions of a key match equally), and
+        # the fold only ever consumes length(text), never the body — so:
+        # project the payload away FIRST, semi-join down to the changed
+        # keys, and resolve only those.  The scan over the old version
+        # remains (inherent: a batch touching every bucket needs every
+        # bucket's state) but it ships ~30-byte rows into the join and the
+        # resolve window is O(changed keys' versions), not O(table).
+        scope = buckets if len(buckets) < nb else None
+        raw = self.upstream.read(version=last_v, buckets=scope, resolve=False)
+        slim = raw.select(
+            "conv_id",
+            "turn_idx",
+            "_lsn",
+            "_deleted",
+            F.length("text").alias("_text_len"),
+            (
+                F.col("ts") if "ts" in raw.columns
+                else F.lit(None).cast("timestamp")
+            ).alias("ts"),
+        )
+        hits = slim.join(kdf_old, ["conv_id", "turn_idx"], "left_semi")
+        if any(f.get("delta") for f in old_snap.files):
+            hits = self.upstream._resolve_mor(hits, hits.schema)
+        return hits  # _contrib consumes _text_len directly (never the body)
 
     def _rollup_rows_for_convs(self, conv_df: DataFrame) -> DataFrame:
         """Touched conversations' CURRENT rollup rows, with the same
@@ -264,7 +302,11 @@ class IncrementalConvRollup:
         if cur_v <= last_v:
             return 0
         try:
-            snap, new_files = self.upstream.changed_files(last_v, cur_v)
+            # op-aware diff: compaction/rebucket rewrites are logically
+            # empty and are EXCLUDED — folding their O(table) re-emits cost
+            # the r8 streaming soak 135-160 s per compaction epoch (growing
+            # with the table) to compute an all-zero delta
+            snap, new_files = self.upstream.changed_data_files(last_v, cur_v)
         except FileNotFoundError as e:
             raise RuntimeError(
                 f"rollup cursor v{last_v} is older than upstream snapshot "

@@ -468,3 +468,39 @@ def test_changefeed_bootstrap_empty_upstream_advances_cursor(
     )
     feed.run_until_idle()
     assert _published_state(down) == _published_state(up)
+
+
+def test_changefeed_skips_upstream_compaction_reemits(spark, tmp_table_dir):
+    """An upstream compaction between polls rewrites every row into new
+    files; the op-aware poll must plan ZERO files for it — lag reports 0
+    rows behind, the downstream gets cursor-only commits, no re-merge —
+    while data batches before and after still flow exactly (r8
+    streaming-soak decay fix)."""
+    from mimic_spark.lakehouse.maintenance import compact
+
+    spec = ChangelogSpec(n_events=800, n_convs=20, n_chunks=2)
+    chunks = write_changelog_chunks(
+        spark, spec, os.path.join(tmp_table_dir, "clsk")
+    )
+    up = TranscriptCdc(
+        spark, os.path.join(tmp_table_dir, "upsk"), n_buckets=2,
+        mode="mor", compact_every=0,
+    )
+    down = TranscriptCdc(spark, os.path.join(tmp_table_dir, "downsk"), n_buckets=2)
+    feed = ChangeFeedConsumer(spark, up.table_path, down)
+
+    run_batched(spark, up, chunks[:1])
+    feed.run_until_idle()
+    assert _published_state(down) == _published_state(up)
+    v_down = down.table.latest_version()
+
+    compact(up.table)
+    assert feed.lag()["rows_behind"] == 0  # op-aware lag: no logical change
+    feed.run_until_idle()
+    for v in range(v_down + 1, down.table.latest_version() + 1):
+        assert down.table.snapshot(v).op == "changefeed-cursor"
+    assert _published_state(down) == _published_state(up)
+
+    run_batched(spark, up, chunks)
+    feed.run_until_idle()
+    assert _published_state(down) == _published_state(up)

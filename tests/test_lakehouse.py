@@ -2134,3 +2134,95 @@ def test_grouped_time_travel_bucket_read_across_rebucket(
         (r["conv_id"], r["turn_idx"], r["text"]) for r in oracle.collect()
     )
     assert a == b and a  # non-empty and exact
+
+
+def test_changed_data_files_excludes_maintenance_rewrites(spark, tmp_table_dir):
+    """``changed_data_files`` is the op-aware incremental-read planner (r8
+    streaming-soak decay fix): compaction/rebucket rewrites — logically
+    empty deltas that re-emit every row at the file level — are excluded;
+    a data file compacted away WITHIN the window is still returned and
+    readable; WAP-staged files never leak and surface exactly once, at
+    publish."""
+    from mimic_spark.lakehouse import wap
+    from mimic_spark.lakehouse.maintenance import rebucket
+    from mimic_spark.lakehouse.merge import ensure_internal_schema
+    from mimic_spark.streaming.apply import dedup_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark,
+        os.path.join(tmp_table_dir, "cdf"),
+        ensure_internal_schema(schema),
+        ["conv_id", "turn_idx"],
+        n_buckets=2,
+    )
+
+    def apply(rows, bid):
+        df = spark.createDataFrame(
+            rows,
+            "lsn long, op string, conv_id string, turn_idx int, text string",
+        )
+        merge_into(t, dedup_batch(df), batch_id=bid, mode="mor")
+
+    apply([(i, "update", f"c{i % 3}", i, f"t{i}") for i in range(6)], 0)
+    v_data = t.latest_version()
+
+    # compaction-only window: the path diff sees rewrites, the op-aware
+    # diff sees a logically-empty delta
+    compact(t)
+    v_compact = t.latest_version()
+    assert t.changed_files(v_data, v_compact)[1]
+    assert t.changed_data_files(v_data, v_compact)[1] == []
+    rebucket(t, 4)
+    assert t.changed_data_files(v_data)[1] == []
+
+    # mixed window (data batch + compaction): exactly the data batch's
+    # files come back, even though the compaction removed them from the
+    # live snapshot — and they are still readable
+    v0 = t.latest_version()
+    apply([(10, "update", "c0", 0, "changed"), (11, "insert", "c9", 9, "new")], 1)
+    mid = {f["path"] for f in t.changed_data_files(v0)[1]}
+    assert mid
+    compact(t)
+    snap, win = t.changed_data_files(v0)
+    assert {f["path"] for f in win} == mid
+    live_paths = {f["path"] for f in snap.files}
+    assert not (mid & live_paths)  # compacted away, yet still planned
+    got = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in t._read_files(snap, win, resolve=True).collect()
+    )
+    assert got == [("c0", 0), ("c9", 9)]
+
+    # WAP: staged files never leak into any window (stage -> abort -> new
+    # data), then a published stage surfaces exactly once
+    v1 = t.latest_version()
+    staged_df = spark.createDataFrame(
+        [("w", 1, "staged")], "conv_id string, turn_idx int, text string"
+    )
+    wap.stage(t, staged_df, "w1")
+    staged_paths = {
+        f["path"]
+        for f in t.snapshot(t.latest_version()).files
+        if f["path"] not in {f2["path"] for f2 in t.snapshot(v1).files}
+    }
+    assert staged_paths
+    wap.abort(t, "w1")
+    apply([(20, "insert", "c8", 8, "post-abort")], 2)
+    _, win2 = t.changed_data_files(v1, t.current_version())
+    assert not ({f["path"] for f in win2} & staged_paths)
+    assert win2  # the post-abort data batch is there
+
+    v2 = t.current_version()
+    wap.stage(t, staged_df, "w2")
+    assert t.changed_data_files(v2, v2)[1] == []  # nothing published yet
+    wap.publish(t, "w2")
+    _, win3 = t.changed_data_files(v2, t.current_version())
+    rows3 = t._read_files(t.snapshot(), win3, resolve=True).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows3] == [("w", 1)]

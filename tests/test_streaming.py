@@ -393,3 +393,42 @@ def test_stream_with_inline_rollup_maintenance(spark, tmp_table_dir):
         for r in cdc.rollup.read().collect()
     )
     assert got == oracle
+
+
+def test_stream_rollup_refresh_cadence(spark, tmp_table_dir):
+    """rollup_every=3: the inline rollup folds every 3rd applied batch plus
+    one catch-up at drain, so a finished session always hands off a CURRENT
+    rollup — equal to the full recompute — while paying the old-value read
+    a third as often (the continuous-aggregate refresh-policy knob)."""
+    from pyspark.sql import functions as F
+
+    write_changelog_chunks(spark, SPEC, os.path.join(tmp_table_dir, "changelog"))
+    cdc = run_stream(
+        spark,
+        os.path.join(tmp_table_dir, "changelog", "chunk-*"),
+        os.path.join(tmp_table_dir, "transcripts"),
+        os.path.join(tmp_table_dir, "ckpt"),
+        mode="mor",
+        rollup_path=os.path.join(tmp_table_dir, "rollup"),
+        rollup_n_buckets=2,
+        rollup_every=3,
+    )
+    assert cdc.rollup is not None
+    # current at session end despite folding only every 3rd batch
+    assert cdc.rollup.cursor() == cdc.table.current_version()
+    oracle = sorted(
+        (r["conv_id"], r["n_turns"], r["n_chars"], r["max_ts"])
+        for r in cdc.read_published()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.max("ts").alias("max_ts"),
+        )
+        .collect()
+    )
+    got = sorted(
+        (r["conv_id"], r["n_turns"], r["n_chars"], r["max_ts"])
+        for r in cdc.rollup.read().collect()
+    )
+    assert got == oracle

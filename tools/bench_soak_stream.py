@@ -91,6 +91,9 @@ def main() -> int:
     ap.add_argument("--body-words", type=int, default=48)
     ap.add_argument("--files-per-chunk", type=int, default=4)
     ap.add_argument("--compact-every", type=int, default=8)
+    # rollup refresh cadence (run_stream rollup_every): 1 = fold after
+    # every epoch; N amortizes the touched-state read over N epochs
+    ap.add_argument("--rollup-every", type=int, default=1)
     # rows/bucket growth trigger, live during the soak (0 = off)
     ap.add_argument("--rebucket-threshold", type=int, default=250_000)
     ap.add_argument(
@@ -209,6 +212,7 @@ def main() -> int:
             compact_every=args.compact_every,
             source="wal_json",
             rollup_path=rollup,
+            rollup_every=args.rollup_every,
         )
         session_sec = time.time() - t0
         if s == 0 and args.rebucket_threshold:
@@ -325,7 +329,7 @@ def main() -> int:
             for k in (
                 "n_events", "n_epochs", "epochs_per_session", "n_convs",
                 "parallelism", "n_buckets", "body_words", "compact_every",
-                "rebucket_threshold",
+                "rollup_every", "rebucket_threshold",
             )
         },
         "total_wall_sec": round(total_sec, 1),
