@@ -235,13 +235,16 @@ def main() -> int:
     except Exception:
         pass
 
-    def _is_stale(rev, extra_exact=()):
+    def _is_stale(rev, prefixes, exact):
         """Stale iff measurement-relevant code changed since the record's
         stamped rev.  Plain rev != HEAD would false-flag every record the
         moment the record itself (or docs) is committed — the semantics
         that matter are 'was THIS code measured', so compare the changed
-        paths: engine + tools always; per-record extras (e.g. sf1 reuses
-        bench.py's HEADLINE list and the __spark_entry__ catalog)."""
+        paths against the record's OWN measured surface: the engine paths
+        its workload exercises plus its own tool (r8 refinement: a repo-
+        wide tools/ prefix false-flagged every record whenever any OTHER
+        tool changed, and the CDC soaks' engine surface differs from the
+        batch-operator benches')."""
         if rev is None or head is None:
             return True
         if rev == head:
@@ -253,13 +256,17 @@ def main() -> int:
             ).stdout.split()
         except Exception:
             return True  # unknown ancestry -> conservative
-        sensitive = ("mimic_spark/", "tools/")
-        exact = set(extra_exact)
+        exact = set(exact)
         return any(
-            p.startswith(sensitive) or p in exact for p in out
+            p.startswith(tuple(prefixes)) or p in exact for p in out
         )
 
-    def stamped_record(name, tool, extra_exact=()):
+    def stamped_record(name, tool, sensitive=("mimic_spark/",), extra_exact=()):
+        """sensitive: engine path prefixes the record's workload executes
+        (default: the whole engine — right for the CDC soaks, which drive
+        sources+streaming+lakehouse end-to-end; batch-operator records
+        narrow it to the operator surface).  The record's own tool is
+        always part of the measured surface."""
         path = os.path.join(here, "BENCH", name)
         if not os.path.exists(path):
             return None
@@ -267,30 +274,60 @@ def main() -> int:
             rec = json.load(f)
         return {
             "recorded": True,
-            "stale": _is_stale(rec.get("git_rev"), extra_exact),
+            "stale": _is_stale(
+                rec.get("git_rev"), sensitive, (tool,) + tuple(extra_exact)
+            ),
             **rec,
             "see": tool,
         }
 
+    # the batch-operator records run the query catalog only — their
+    # measured engine surface is the operator layer, not the CDC stack
+    OPERATOR_SURFACE = (
+        "mimic_spark/operators/",
+        "mimic_spark/functions/",
+    )
     # rerun with: python tools/bench_sf1.py   # ~6 min incl. generation
     sf1 = stamped_record(
         "sf1.json",
         "tools/bench_sf1.py",
-        extra_exact=("bench.py", "__spark_entry__.py"),
+        sensitive=OPERATOR_SURFACE,
+        extra_exact=("mimic_spark/session.py", "bench.py", "__spark_entry__.py"),
     )
     # sustained-throughput soak (r6 verdict Next #1): >=100M events into one
-    # MoR table, decay plateau-vs-final, canary-normalized
+    # MoR table, decay plateau-vs-final, canary-normalized.  The soaks keep
+    # the whole-engine default surface: they drive sources -> streaming ->
+    # lakehouse end-to-end.
     soak = stamped_record("soak.json", "tools/bench_soak.py")
     # streaming-path soak (r7 verdict Next #1): the same decay bar through
     # run_stream itself — WAL-JSON source, drift detection live, inline
     # rollup, checkpointed epochs across sessions
     soak_stream = stamped_record("soak_stream.json", "tools/bench_soak_stream.py")
     # LSH/IVF/minhash recall with sizing.py auto-derivation live, off the
-    # pinned 500-row point (r6 verdict Next #5)
-    recall = stamped_record("recall.json", "tools/recall_audit.py")
+    # pinned 500-row point (r6 verdict Next #5); tile generation reuses
+    # tools/bench_sf1.generate
+    recall = stamped_record(
+        "recall.json",
+        "tools/recall_audit.py",
+        sensitive=OPERATOR_SURFACE,
+        extra_exact=("mimic_spark/session.py", "tools/bench_sf1.py"),
+    )
     # per-op regression adjudication (r7 verdict Next #4): interleaved
     # old/new A/B on the ops whose raw medians moved past canary drift
-    op_ab = stamped_record("ab_r8.json", "tools/ab_adjudicate.py")
+    op_ab = stamped_record(
+        "ab_r8.json",
+        "tools/ab_adjudicate.py",
+        sensitive=OPERATOR_SURFACE,
+        extra_exact=("mimic_spark/session.py",),
+    )
+    # streaming-vs-batched overhead decomposition (r8): decode surcharge
+    # on one identically-shaped chunk; exercises the WAL source layer
+    decode_oh = stamped_record(
+        "decode_overhead.json",
+        "tools/bench_decode_overhead.py",
+        sensitive=("mimic_spark/sources/",),
+        extra_exact=("mimic_spark/session.py",),
+    )
 
     scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
@@ -356,6 +393,7 @@ def main() -> int:
         "soak_stream": soak_stream,
         "recall": recall,
         "op_ab": op_ab,
+        "decode_overhead": decode_oh,
         "box_canary": canary,
     }
     detail_path = os.path.join(here, "BENCH", "latest.json")
@@ -424,6 +462,19 @@ def main() -> int:
                 "stale": soak_stream.get("stale"),
             }
             if soak_stream
+            else None
+        ),
+        "decode_overhead": (
+            {
+                "surcharge_us_per_event": decode_oh.get(
+                    "decode_surcharge_us_per_event"
+                ),
+                "fraction_of_soak_gap": decode_oh.get(
+                    "decode_fraction_of_soak_gap"
+                ),
+                "stale": decode_oh.get("stale"),
+            }
+            if decode_oh
             else None
         ),
         "recall": (
