@@ -296,7 +296,10 @@ def main() -> int:
         "decay_pass": (
             None
             if decay is None
-            else bool(decay <= 0.10 or (decay_raw or 1.0) <= 0.10)
+            else bool(
+                decay <= 0.10
+                or (decay_raw is not None and decay_raw <= 0.10)
+            )
         ),
         "rebucket_events": rebuckets,
         "canaries": canaries,
