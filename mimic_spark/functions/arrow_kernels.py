@@ -1,0 +1,345 @@
+"""Vectorized Arrow/numpy kernels for the portable-hash text operators.
+
+r9 optimization (guide §4.2): the per-character polynomial hashing behind
+doc_fingerprint and dedup_minhash_lsh was previously evaluated by Catalyst
+higher-order functions (transform/aggregate lambdas).  Those are
+CodegenFallback — every character of every word walks an interpreted
+expression tree — and profiled as the dominant cost of both operators
+(doc_fingerprint 4.7 s, the minhash signature stage most of 15 s, at sf1
+on local[32]).  These kernels compute the SAME integer arithmetic with
+numpy over Arrow buffers inside ``mapInArrow``: one batch in, a few dozen
+vectorized passes, one batch out.
+
+Bit-exactness contract: everything here is exact int64 arithmetic mod
+2^31-1 — products stay < 2^62 (see functions/portable_hash.py), so numpy
+int64 computes the identical values the interpreted expressions (and the
+DuckDB oracles) produce.  No floats are involved.
+
+Word-splitting fidelity: the replaced expressions tokenize with
+``split(trim(text), '\\s+')`` (Spark semantics: trim strips ASCII spaces
+only; split keeps leading AND trailing empty strings — Spark calls
+Pattern.split with limit -1 — and \\s is the ASCII class).  The fast path
+below assumes the common clean shape (printable ASCII, single spaces, no
+edge spaces, non-empty) and VERIFIES it per batch; any batch that violates
+it falls back to a per-row Python twin that replicates the Spark semantics
+exactly (tested against the HOF expressions in
+tests/test_operators.py::test_arrow_kernels_match_hof_on_dirty_text).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from mimic_spark.functions.portable_hash import HASH_MOD, SIG_COMBINE, WORD_COMBINE
+
+# Spark/Java \s (ASCII): [ \t\n\x0b\f\r]; Python re's \s would additionally
+# match unicode spaces under str patterns, so spell the class out.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def java_split_words(text: str) -> list[str]:
+    """Pure-Python twin of Spark's split(trim(text), '\\s+').
+
+    Spark trim strips only ASCII space; Spark split uses limit -1, which
+    KEEPS leading and trailing empty strings (unlike Java's 1-arg split).
+    re.split has exactly that behavior."""
+    return _JAVA_WS.split(text.strip(" "))
+
+
+def py_word_hash(w: str) -> int:
+    h = 0
+    for ch in w:
+        h = (h * 31 + ord(ch)) % HASH_MOD
+    return h
+
+
+class _WordLayout:
+    """Flat word layout for one clean batch: per-word rolling hashes plus
+    the word->doc segmentation, all numpy."""
+
+    __slots__ = ("word_h", "n_words", "word_off")
+
+    def __init__(self, word_h: np.ndarray, n_words: np.ndarray):
+        self.word_h = word_h  # int64 [total_words]
+        self.n_words = n_words  # int64 [n_docs]
+        self.word_off = np.concatenate(
+            ([0], np.cumsum(n_words))
+        )  # int64 [n_docs+1]
+
+
+def _string_buffers(s: pa.Array) -> tuple[np.ndarray, np.ndarray] | None:
+    """(byte_offsets_rel, data_segment) for a string array, or None when the
+    fast path can't be used (nulls / large_string chunking surprises)."""
+    if s.null_count:
+        return None
+    if pa.types.is_large_string(s.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(s.type):
+        off_dtype = np.int32
+    else:
+        return None
+    bufs = s.buffers()
+    o = np.frombuffer(bufs[1], off_dtype)[s.offset : s.offset + len(s) + 1]
+    o = o.astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)
+    seg = data[o[0] : o[-1]]
+    return o - o[0], seg
+
+
+def _is_clean(o: np.ndarray, seg: np.ndarray) -> bool:
+    """Clean = every doc non-empty, printable ASCII (0x20-0x7e), no leading/
+    trailing space, no double space.  Doc boundaries can't produce false
+    double-space hits because edge spaces are already excluded."""
+    lens = o[1:] - o[:-1]
+    if len(lens) == 0:
+        return True
+    if (lens == 0).any():
+        return False
+    if len(seg) == 0:
+        return True
+    if seg.min() < 0x20 or seg.max() > 0x7E:
+        return False
+    if (seg[o[:-1]] == 0x20).any() or (seg[o[1:] - 1] == 0x20).any():
+        return False
+    sp = seg == 0x20
+    if len(sp) > 1 and (sp[:-1] & sp[1:]).any():
+        return False
+    return True
+
+
+def _word_layout_fast(o: np.ndarray, seg: np.ndarray) -> _WordLayout:
+    sp_pos = np.flatnonzero(seg == 0x20)
+    starts = np.sort(np.concatenate((o[:-1], sp_pos + 1)))
+    ends = np.sort(np.concatenate((sp_pos, o[1:])))
+    lens = ends - starts
+    n_words = (
+        1
+        + np.searchsorted(sp_pos, o[1:])
+        - np.searchsorted(sp_pos, o[:-1])
+    ).astype(np.int64)
+    h = np.zeros(len(starts), np.int64)
+    max_len = int(lens.max()) if len(lens) else 0
+    for k in range(max_len):
+        m = lens > k
+        h[m] = (h[m] * 31 + seg[starts[m] + k]) % HASH_MOD
+    return _WordLayout(h, n_words)
+
+
+def _word_layout_slow(texts: list[str | None]) -> _WordLayout:
+    """Per-row Python twin — exact Spark semantics for arbitrary input.
+    NULL text mirrors the HOF expressions: split(NULL) is NULL, so the doc
+    contributes zero words (its fingerprint/minhash rows are NULL-derived;
+    callers handle that explicitly)."""
+    hashes: list[int] = []
+    n_words = np.zeros(len(texts), np.int64)
+    for j, t in enumerate(texts):
+        if t is None:
+            n_words[j] = -1  # sentinel: NULL text (≠ empty doc)
+            continue
+        ws = java_split_words(t)
+        n_words[j] = len(ws)
+        hashes.extend(py_word_hash(w) for w in ws)
+    return _WordLayout(np.asarray(hashes, np.int64), np.maximum(n_words, 0))
+
+
+def _layout_for(col: pa.Array) -> tuple[_WordLayout, np.ndarray | None]:
+    """Word layout + optional NULL-doc mask (None when no NULL texts)."""
+    fast = _string_buffers(col)
+    if fast is not None and _is_clean(*fast):
+        return _word_layout_fast(*fast), None
+    texts = col.to_pylist()
+    lay = _word_layout_slow(texts)
+    nulls = np.array([t is None for t in texts], bool)
+    return lay, (nulls if nulls.any() else None)
+
+
+def _group_ranges(counts: np.ndarray) -> np.ndarray:
+    """Within-group index 0..count-1 for each element, groups concatenated."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(off, counts)
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint: fingerprint = fold(word_hashes, 0, (acc,x) -> (acc*1000003+x) % M)
+# --------------------------------------------------------------------------
+
+
+def doc_fingerprint_batches(
+    it: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    out_schema = pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.int64())])
+    for batch in it:
+        ids = batch.column("doc_id")
+        lay, null_mask = _layout_for(batch.column("text"))
+        n = len(ids)
+        fp = np.zeros(n, np.int64)
+        nw = lay.n_words
+        off = lay.word_off[:-1]
+        max_w = int(nw.max()) if n else 0
+        h = lay.word_h
+        for k in range(max_w):
+            m = nw > k
+            fp[m] = (fp[m] * SIG_COMBINE + h[off[m] + k]) % HASH_MOD
+        fp_arr = pa.array(fp, pa.int64())
+        if null_mask is not None:
+            # NULL text -> NULL fingerprint (aggregate over NULL array)
+            fp_arr = pa.array(
+                [None if m else int(v) for v, m in zip(fp, null_mask)],
+                pa.int64(),
+            )
+        yield pa.RecordBatch.from_arrays(
+            [ids.cast(pa.int64()), fp_arr], schema=out_schema
+        )
+
+
+# --------------------------------------------------------------------------
+# minhash: per doc (>=3 words), mh_i = min over shingle bases b of (a_i*b+c_i)%M
+# where b = ((wh0*131 + wh1)*131 + wh2) % M over consecutive word triples.
+# Duplicates don't affect a min, so the HOF pipeline's array_distinct is
+# skipped here — identical results.
+# --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# cosine scoring: replicates _dot/_norm (zip_with product then LEFT-TO-RIGHT
+# fold-add) IEEE-operation-for-operation, so the unrounded double is
+# bit-identical to the Catalyst aggregate it replaces.  numpy multiply/add
+# are separate correctly-rounded IEEE ufuncs (no FMA), and the k-loop below
+# adds dimensions in the same left-to-right order as the fold.
+# --------------------------------------------------------------------------
+
+
+def _fold_dot(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    acc = np.zeros(mat.shape[0], np.float64)
+    for k in range(mat.shape[1]):
+        acc = acc + mat[:, k] * q[k]
+    return acc
+
+
+def _fold_sqnorm(mat: np.ndarray) -> np.ndarray:
+    acc = np.zeros(mat.shape[0], np.float64)
+    for k in range(mat.shape[1]):
+        acc = acc + mat[:, k] * mat[:, k]
+    return acc
+
+
+def _list_to_matrix(col: pa.Array, dim: int) -> np.ndarray | None:
+    """(n, dim) float64 matrix from a list<float|double> column, or None when
+    rows are ragged/null (caller falls back to per-row conversion)."""
+    if col.null_count:
+        return None
+    if isinstance(col, pa.ChunkedArray):  # pragma: no cover - RecordBatch cols
+        col = col.combine_chunks()
+    offsets = np.frombuffer(col.buffers()[1], np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    lens = offsets[1:] - offsets[:-1]
+    if len(lens) and not (lens == dim).all():
+        return None
+    values = col.values
+    vals = values.to_numpy(zero_copy_only=False).astype(np.float64)
+    start = offsets[0]
+    return vals[start : start + len(col) * dim].reshape(len(col), dim)
+
+
+def make_cosine_topk_kernel(
+    queries: list[tuple[int, list[float]]], dim: int
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    """Per corpus batch, emit (query_id, neighbor_id, cos_sim_raw) for every
+    (query, vector) pair with vec_id != query_id.  cos_sim_raw is the
+    UNROUNDED double — the operator applies the same JVM F.round(.., 4)
+    (HALF_UP) the old plan used, so rounding semantics are untouched."""
+    q_ids = [int(i) for i, _ in queries]
+    q_vecs = [np.asarray(v, np.float64) for _, v in queries]
+    # scalar query norms with the same left-to-right fold (python floats are
+    # IEEE doubles; operation order matches _norm exactly)
+    q_norms = []
+    for qv in q_vecs:
+        acc = 0.0
+        for x in qv:
+            acc = acc + float(x) * float(x)
+        q_norms.append(float(np.sqrt(acc)))
+
+    def cosine_batches(
+        it: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        out_schema = pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("cos_raw", pa.float64()),
+            ]
+        )
+        for batch in it:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = _list_to_matrix(batch.column("v"), dim)
+            if mat is None:
+                # NULL/ragged vectors never occur in the embeddings corpus;
+                # fail loudly rather than silently diverge from the padded
+                # zip_with semantics of the expression this replaces
+                raise ValueError(
+                    "cosine kernel: NULL or ragged embedding row"
+                )
+            vnorm = np.sqrt(_fold_sqnorm(mat))
+            for qi, qv, qn in zip(q_ids, q_vecs, q_norms):
+                dots = _fold_dot(mat, qv)
+                cos = dots / (qn * vnorm)
+                keep = ids != qi
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(int(keep.sum()), qi, np.int64)),
+                        pa.array(ids[keep].astype(np.int64)),
+                        pa.array(cos[keep], pa.float64()),
+                    ],
+                    schema=out_schema,
+                )
+
+    return cosine_batches
+
+
+def make_minhash_kernel(
+    family: list[tuple[int, int]],
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    fam = [(int(a), int(c)) for a, c in family]
+
+    def minhash_batches(
+        it: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        fields = [("doc_id", pa.int64())] + [
+            (f"mh{i}", pa.int64()) for i in range(len(fam))
+        ]
+        out_schema = pa.schema(fields)
+        for batch in it:
+            ids = batch.column("doc_id")
+            lay, _nulls = _layout_for(batch.column("text"))
+            nw = lay.n_words  # NULL texts already have 0 words -> filtered
+            nb = np.maximum(nw - 2, 0)
+            valid = nw >= 3
+            h = lay.word_h
+            base_idx = (
+                np.repeat(lay.word_off[:-1], nb) + _group_ranges(nb)
+            )
+            b = (
+                (h[base_idx] * WORD_COMBINE + h[base_idx + 1]) * WORD_COMBINE
+                + h[base_idx + 2]
+            ) % HASH_MOD
+            base_off = np.concatenate(([0], np.cumsum(nb)))[:-1][valid]
+            cols = [ids.cast(pa.int64()).filter(pa.array(valid))]
+            for a, c in fam:
+                v = (b * a + c) % HASH_MOD
+                mins = (
+                    np.minimum.reduceat(v, base_off)
+                    if len(base_off)
+                    else np.zeros(0, np.int64)
+                )
+                cols.append(pa.array(mins, pa.int64()))
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    return minhash_batches

@@ -88,3 +88,19 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     return [
         spark.read.parquet(f"{sf_dir.rstrip('/')}/{n}.parquet") for n in names
     ]
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to the session's core count WHEN file
+    splitting under-parallelizes it (r9, guide §2.6/§6): a single small
+    parquet file yields only a handful of splits, leaving most cores idle
+    through an expensive map stage (the Arrow-kernel operators measured a
+    6-task stage on local[32]).  Scale-adaptive by construction: once the
+    input yields >= cores splits — any real table at cluster scale — this
+    is a no-op, so no shuffle is ever added where the scan already spreads.
+    Round-robin (no key) keeps the exchange skew-free; Spark's
+    sort-before-repartition default keeps task retries deterministic."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
