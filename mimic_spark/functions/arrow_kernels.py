@@ -208,6 +208,54 @@ def doc_fingerprint_batches(
 
 
 # --------------------------------------------------------------------------
+# local top-k prefilter: keep, per Arrow batch and group, the k best rows by
+# (value DESC, tiebreak ASC).  PURELY a row-count reducer ahead of an exact
+# window top-k — a dropped row is provably below k same-group rows under the
+# final window's own ordering, so the result is row-identical; on any doubt
+# (nulls) the batch passes through untouched.  Replaces the full local sort
+# Spark's partial WindowGroupLimit needs (the measured cost of the one-window
+# plan) with an O(n + g·k log n) numpy selection.
+# --------------------------------------------------------------------------
+
+
+def make_local_topk_kernel(
+    group_col: str, desc_col: str, asc_col: str, k: int
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    def topk_batches(
+        it: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in it:
+            if batch.num_rows <= k:
+                yield batch
+                continue
+            gcol, vcol, tcol = (
+                batch.column(group_col),
+                batch.column(desc_col),
+                batch.column(asc_col),
+            )
+            if gcol.null_count or vcol.null_count or tcol.null_count:
+                yield batch  # pass-through: pruning is best-effort only
+                continue
+            codes = pc.dictionary_encode(gcol).indices.to_numpy(
+                zero_copy_only=False
+            )
+            v = vcol.to_numpy(zero_copy_only=False)
+            tb = tcol.to_numpy(zero_copy_only=False)
+            keeps = []
+            for g in np.unique(codes):
+                idx = np.flatnonzero(codes == g)
+                if len(idx) > k:
+                    idx = idx[np.lexsort((tb[idx], -v[idx]))[:k]]
+                keeps.append(idx)
+            keep = np.sort(np.concatenate(keeps))
+            yield batch.take(pa.array(keep))
+
+    return topk_batches
+
+
+# --------------------------------------------------------------------------
 # cosine scoring: replicates _dot/_norm (zip_with product then LEFT-TO-RIGHT
 # fold-add) IEEE-operation-for-operation, so the unrounded double is
 # bit-identical to the Catalyst aggregate it replaces.  numpy multiply/add

