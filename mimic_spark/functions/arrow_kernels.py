@@ -208,6 +208,153 @@ def doc_fingerprint_batches(
 
 
 # --------------------------------------------------------------------------
+# text_quality_scores: n_words / n_punct / stopword hits / BPE-ish token
+# count, all from one byte pass.  Exact twins of the JVM expressions:
+#   n_words   = size(split(trim(text), '\s+'))
+#   n_punct   = regexp_count(text, '[^A-Za-z0-9\s]')   (count of such chars)
+#   stop_hits = size(filter(words, w -> w IN (stopwords)))
+#   bpe       = regexp_count(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')
+# The BPE alternation tokenizes greedily left-to-right, so on a letter run
+# of length L it matches ceil(L/4) times, and every digit / non-alnum-non-
+# space char matches once — countable from byte classes + letter-run
+# lengths without running a regex.  Fast path requires the clean-ASCII
+# batch shape (_is_clean); dirty batches fall back to a per-row Python twin
+# with the Java-regex-faithful patterns.
+# --------------------------------------------------------------------------
+
+_BPE_RE = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]")
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9 \t\n\x0b\f\r]")
+
+
+def make_text_quality_kernel(
+    stopwords: list[str],
+) -> Callable[[Iterator[pa.RecordBatch]], Iterator[pa.RecordBatch]]:
+    stop_set = set(stopwords)
+    stop_bytes = [np.frombuffer(w.encode(), np.uint8) for w in stopwords]
+    lut_letter = np.zeros(256, bool)
+    lut_letter[ord("A") : ord("Z") + 1] = True
+    lut_letter[ord("a") : ord("z") + 1] = True
+    lut_digit = np.zeros(256, bool)
+    lut_digit[ord("0") : ord("9") + 1] = True
+
+    def _slow(texts: list[str | None]):
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, None, None, None))
+                continue
+            ws = java_split_words(t)
+            rows.append(
+                (
+                    len(ws),
+                    len(_PUNCT_RE.findall(t)),
+                    sum(1 for w in ws if w in stop_set),
+                    len(_BPE_RE.findall(t)),
+                )
+            )
+        return rows
+
+    def tq_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("n_words", pa.int32()),
+                ("n_punct", pa.int32()),
+                ("stop_hits", pa.int32()),
+                ("bpe", pa.int32()),
+            ]
+        )
+        for batch in it:
+            ids = batch.column("doc_id").cast(pa.int64())
+            nch = batch.column("n_chars").cast(pa.int64())
+            col = batch.column("text")
+            fast = _string_buffers(col)
+            if fast is None or not _is_clean(*fast):
+                rows = _slow(col.to_pylist())
+                cols = [ids, nch] + [
+                    pa.array([r[i] for r in rows], pa.int32())
+                    for i in range(4)
+                ]
+                yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+                continue
+            o, seg = fast
+            ndocs = len(ids)
+            # words (clean shape: single spaces, no edge spaces, non-empty)
+            sp_pos = np.flatnonzero(seg == 0x20)
+            starts = np.sort(np.concatenate((o[:-1], sp_pos + 1)))
+            ends = np.sort(np.concatenate((sp_pos, o[1:])))
+            lens = ends - starts
+            n_words = (
+                1
+                + np.searchsorted(sp_pos, o[1:])
+                - np.searchsorted(sp_pos, o[:-1])
+            ).astype(np.int64)
+            word_off = np.concatenate(([0], np.cumsum(n_words)))
+            # stopword hits: exact byte equality per stopword
+            hit = np.zeros(len(starts), bool)
+            for b in stop_bytes:
+                m = lens == len(b)
+                if not m.any():
+                    continue
+                idx = starts[m]
+                eq = np.ones(len(idx), bool)
+                for k, ch in enumerate(b):
+                    eq &= seg[idx + k] == ch
+                w_idx = np.flatnonzero(m)[eq]
+                hit[w_idx] = True
+            stop_hits = np.add.reduceat(
+                hit.astype(np.int64), word_off[:-1]
+            ) if len(starts) else np.zeros(ndocs, np.int64)
+            # byte classes
+            al = lut_letter[seg]
+            dg = lut_digit[seg]
+            punct = ~al & ~dg & (seg != 0x20)
+            doc_starts = o[:-1]
+            same_prev = np.ones(len(seg), bool)
+            same_prev[doc_starts[doc_starts < len(seg)]] = False
+            al_prev = np.zeros(len(seg), bool)
+            al_prev[1:] = al[:-1]
+            run_start = al & ~(al_prev & same_prev)
+            rs = np.flatnonzero(run_start)
+            # run end: next byte not a letter, or doc boundary
+            same_next = np.ones(len(seg), bool)
+            next_doc_starts = doc_starts[(doc_starts > 0) & (doc_starts <= len(seg))]
+            same_next[next_doc_starts - 1] = False
+            al_next = np.zeros(len(seg), bool)
+            al_next[:-1] = al[1:]
+            run_end = al & ~(al_next & same_next)
+            re_ = np.flatnonzero(run_end)
+            run_len = re_ - rs + 1
+            doc_of_run = np.searchsorted(o, rs, "right") - 1
+            bpe_let = np.bincount(
+                doc_of_run, weights=(run_len + 3) // 4, minlength=ndocs
+            ).astype(np.int64)
+            p_pos = np.flatnonzero(punct)
+            d_pos = np.flatnonzero(dg)
+            n_punct = np.bincount(
+                np.searchsorted(o, p_pos, "right") - 1, minlength=ndocs
+            ).astype(np.int64)
+            n_dig = np.bincount(
+                np.searchsorted(o, d_pos, "right") - 1, minlength=ndocs
+            ).astype(np.int64)
+            bpe = bpe_let + n_dig + n_punct
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    nch,
+                    pa.array(n_words.astype(np.int32)),
+                    pa.array(n_punct.astype(np.int32)),
+                    pa.array(stop_hits.astype(np.int32)),
+                    pa.array(bpe.astype(np.int32)),
+                ],
+                schema=out_schema,
+            )
+
+    return tq_batches
+
+
+# --------------------------------------------------------------------------
 # local top-k prefilter: keep, per Arrow batch and group, the k best rows by
 # (value DESC, tiebreak ASC).  PURELY a row-count reducer ahead of an exact
 # window top-k — a dropped row is provably below k same-group rows under the

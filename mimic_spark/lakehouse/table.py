@@ -742,9 +742,16 @@ class SnapshotTable:
                 *(sort_cols or self.key_cols)
             )
         else:
-            staged = df.withColumn(
-                "_bucket", bucket_expr(self.key_cols, nb)
-            ).repartition(nb, "_bucket")
+            staged = df.withColumn("_bucket", bucket_expr(self.key_cols, nb))
+            if nb == 1:
+                # single-bucket tables (ledger/metrics/rejects bookkeeping):
+                # every row lands in bucket 0, so the hash repartition is a
+                # pure exchange with no effect — coalesce skips it (r9;
+                # these tables take one append per CDC batch, and the extra
+                # stage was pure scheduler latency on the hot path)
+                staged = staged.coalesce(1)
+            else:
+                staged = staged.repartition(nb, "_bucket")
             if sort_cols:
                 staged = staged.sortWithinPartitions(*sort_cols)
         # opt-in per-file key blooms (serving tables; see lakehouse/bloom.py

@@ -58,29 +58,31 @@ def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     BPE-ish regex tokens as bpe_tokens) — merged with the former
     text_token_counts entry (r3) to keep every oracled query inside the
     driver's 50-entry correctness window; coverage is identical."""
+    from mimic_spark.functions.arrow_kernels import make_text_quality_kernel
+
     (d,) = load_tables(spark, sf, "documents")
-    # spread: pure map stage over one small parquet file — lift scan
-    # parallelism to the core count (no-op at real scale, see catalog.spread)
-    d = spread(d.select("doc_id", "text", "n_chars")).withColumn(
-        "words", _words()
+    # r9: all four counters (word count, punct count, stopword hits,
+    # BPE-ish token count) come from ONE vectorized byte pass in an Arrow
+    # kernel — exact twins of the split/regexp_count/HOF-filter expressions
+    # they replace (the BPE alternation's greedy tokenization is countable
+    # as ceil(letter_run/4) + digits + punct; see arrow_kernels).  The
+    # ratio/rounding arithmetic stays in the JVM with the identical
+    # expressions, so output values are unchanged.  spread lifts the scan
+    # to core-count parallelism (no-op at real scale).
+    k = spread(d.select("doc_id", "text", "n_chars")).mapInArrow(
+        make_text_quality_kernel(STOPWORDS["en"]),
+        "doc_id bigint, n_chars bigint, n_words int, n_punct int, "
+        "stop_hits int, bpe int",
     )
-    nw = F.size("words")
-    # r9: n_punct / bpe_tokens via regexp_count — the same Java regex engine
-    # counting the same non-overlapping matches the old
-    # length(regexp_replace(...)) / size(regexp_extract_all(...)) forms
-    # counted, WITHOUT materializing the residue string or the full token
-    # array per row (the array build was the op's dominant cost and GC
-    # pressure at sf1 — guide §2.3 "don't compute things you throw away").
-    return d.select(
+    nw = F.col("n_words")
+    return k.select(
         "doc_id",
         nw.alias("n_words"),
         F.col("n_chars").alias("n_chars"),
-        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
-        F.round(_stop_hits(F.col("words"), "en") * 1.0 / nw, 4).alias("stop_ratio"),
+        F.col("n_punct").alias("n_punct"),
+        F.round(F.col("stop_hits") * 1.0 / nw, 4).alias("stop_ratio"),
         F.round(F.col("n_chars") * 1.0 / nw, 2).alias("chars_per_word"),
-        F.regexp_count(
-            "text", F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")
-        ).alias("bpe_tokens"),
+        F.col("bpe").alias("bpe_tokens"),
     )
 
 

@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r9 (guide §3.1/§9): let the planner pick shuffled-hash join when
+        # its size conditions hold — avoids both sort passes of sort-merge
+        # for the CDC COW full-outer merge join; plan choice only, results
+        # identical, SMJ still chosen when neither side fits in memory
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # r9 (guide §4.2): 4x default Arrow batch so the vectorized
+        # normalize/kernel passes amortize per-batch fixed costs; rows here
+        # are narrow (text columns ~300 B), so 40k rows is ~12 MB per batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
         .config("spark.driver.memory", os.environ.get("MIMIC_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
