@@ -56,7 +56,9 @@ def plan_facts(df: DataFrame) -> dict:
         "object_hash_aggregates": plan.count("ObjectHashAggregate"),
         "sorts": plan.count("Sort "),
         "window": plan.count("Window"),
-        "arrow_python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        "arrow_python": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("MapInArrow"),  # r9: the vectorized numpy kernels
         "row_python": plan.count("BatchEvalPython"),
         # pre-execution AQE plans print no codegen stars; count both forms
         "wholestage_codegen": plan.count("WholeStageCodegen")

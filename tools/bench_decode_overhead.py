@@ -17,8 +17,10 @@ with a noop sink forcing full materialization:
      extended re-parse (the epoch where a producer evolves)
 
 Per-event decode surcharge = C - A (median of --repeats runs each).  The
-record states what fraction of the soaks' per-event gap
-(1/66096 - 1/160131 s at their recorded rates) that surcharge explains;
+record states what fraction of the soaks' per-event gap that surcharge
+explains (computed from the soak records' rates AT RUN TIME — r8 ADVICE:
+re-running either soak invalidates the recorded fraction, so treat the
+fraction as valid only against the soak records this run read);
 the remainder is the streaming wrapper proper (checkpoint + epoch
 bookkeeping + external-id remap) plus the inline rollup cadence the
 batched soak does not run.  Box drift vs the soak runs is bounded by the

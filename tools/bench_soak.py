@@ -289,16 +289,39 @@ def main() -> int:
         "decay": decay,
         "decay_raw": decay_raw,
         "decay_pass_bar": 0.10,
-        # pass if EITHER the normalized or the raw windows hold the bar:
-        # real table-growth decay appears in raw rates within one run;
-        # normalized-only failure with flat raw = canary drift, and
-        # raw-only failure with flat normalized = genuine late box slowdown
+        # r9 (r8 ADVICE medium): NORMALIZED decay is the primary bar.  The
+        # raw-view override applies ONLY when the canary samples actually
+        # drifted materially during the run (>10% spread) — i.e. when
+        # normalization itself injected the apparent decay; a drifting
+        # canary with a raw-passing run is recorded as views_diverged for
+        # manual adjudication instead of silently passing either way.
+        "canary_drift": (
+            None
+            if len(canaries) < 2
+            else round(
+                max(c["sec"] for c in canaries)
+                / min(c["sec"] for c in canaries)
+                - 1,
+                4,
+            )
+        ),
+        "views_diverged": (
+            None
+            if decay is None or decay_raw is None
+            else bool((decay <= 0.10) != (decay_raw <= 0.10))
+        ),
         "decay_pass": (
             None
             if decay is None
             else bool(
                 decay <= 0.10
-                or (decay_raw is not None and decay_raw <= 0.10)
+                or (
+                    decay_raw is not None
+                    and decay_raw <= 0.10
+                    and len(canaries) >= 2
+                    and max(c["sec"] for c in canaries)
+                    > 1.10 * min(c["sec"] for c in canaries)
+                )
             )
         ),
         "rebucket_events": rebuckets,
