@@ -13,7 +13,7 @@ from mimic_spark.functions.portable_hash import (
     duck_row_id as _duck_row_id,
     spark_row_id as _spark_row_id,
 )
-from mimic_spark.operators.catalog import load_tables, register, spread
+from mimic_spark.operators.catalog import load_tables, register
 
 
 def _cents(col: str) -> F.Column:
@@ -42,27 +42,18 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash agg.
 
-    r9: the filtered/projected scan is spread to the core count before the
-    aggregation — the test parquet carries few row groups, so the partial
-    aggregation otherwise runs on a handful of tasks (catalog.spread is a
-    no-op once the scan yields >= cores splits).  Filter stays BELOW the
-    exchange so parquet pushdown is untouched."""
+    r9: a spread-before-aggregation variant was tried (the test parquet's
+    6 row groups cap scan parallelism) and REVERTED — interleaved A/B under
+    the bench config read 0.61 s plain vs 0.59 s spread (statistical tie),
+    so the extra exchange isn't worth the plan complexity."""
     (li,) = load_tables(spark, sf, "lineitem")
     return (
         # parquet timestamps are NTZ in Spark 4; an NTZ literal keeps the
         # comparison session-timezone-independent (a plain `timestamp` literal
         # would coerce through the session TZ)
-        spread(
-            li.filter(
-                F.col("l_shipdate")
-                <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
-            ).select(
-                "l_returnflag",
-                "l_linestatus",
-                "l_quantity",
-                "l_extendedprice",
-                "l_discount",
-            )
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

@@ -26,25 +26,22 @@ FROM (
 """,
 )
 def window_dedup_latest(spark: SparkSession, sf: str) -> DataFrame:
-    """r9: pick-latest as a hash aggregation (max of struct(ts, event_id) —
-    lexicographic struct ordering IS the window's ORDER BY ts DESC,
-    event_id DESC tiebreak) instead of a row_number sort-window.  Same rows
-    out; the plan swaps Sort+Window for HashAggregate with MAP-SIDE partial
-    aggregation (guide §2.3 'aggregate before you shuffle'): each map task
-    pre-reduces to one candidate per (user_id, event_type) before the
-    exchange, so the shuffle carries ~|groups| rows instead of every event,
-    and the post-shuffle sort disappears (2.2 s -> ~0.6 s at sf1).  The CDC
-    engine's dedup (streaming/apply.py:dedup_batch) uses the same shape."""
+    """r9: a max(struct(ts, event_id)) hash-aggregation variant was tried
+    (map-side partial reduction, no sort) and REVERTED — a struct-typed max
+    falls out of the primitive hash aggregate into ObjectHashAggregate, and
+    the interleaved A/B under the bench config read the original
+    rank-limited window FASTER (1.42 s vs 1.59 s at sf1): Spark 4's partial
+    WindowGroupLimit already prunes to one row per group per map task
+    before the exchange, so the window plan shuffles no more than the
+    aggregation would."""
     (e,) = load_tables(spark, sf, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
     return (
-        e.groupBy("user_id", "event_type")
-        .agg(F.max(F.struct("ts", "event_id")).alias("_m"))
-        .select(
-            F.col("_m.event_id").alias("event_id"),
-            "user_id",
-            "event_type",
-            F.col("_m.ts").alias("ts"),
-        )
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("event_id", "user_id", "event_type", "ts")
     )
 
 
