@@ -26,12 +26,28 @@ checkpoint-dir bytes, table rows/files/version/n_buckets, ledger + metrics
 file counts, box canary.
 
 Verdict written to BENCH/soak_stream.json:
-  plateau  = median normalized ev/s of epochs 6..15
-  final    = median normalized ev/s of the last 10 epochs
-  decay    = 1 - final/plateau            (pass bar: <= 0.10)
+  plateau  = median ev/s of epochs 6..15 (raw AND canary-normalized)
+  final    = median ev/s of the last 10 epochs (both views)
+  decay    = 1 - final/plateau for each; NORMALIZED is the primary bar,
+             with the same raw-view override as tools/bench_soak.py
+             (r8 ADVICE medium): raw <= 0.10 counts ONLY when the canary
+             samples themselves drifted >10% during the run — i.e. when
+             normalization is what injected the apparent decay — and the
+             disagreement is recorded as views_diverged for adjudication.
   streaming_overhead_vs_batched = batched soak overall ev/s / this overall
   (from BENCH/soak.json when present; the factor includes the JSON decode
   cost the batched/parquet soak does not pay — stated, not hidden)
+
+Canary methodology (ported from tools/bench_soak.py, the r8-adjudicated
+fix this tool never received): the epoch-0 canary is taken AFTER a JIT
+warmup run (a cold first canary measures the canary query's own codegen,
+not box speed — r9 attempt 1 recorded 1.677 s cold vs 0.47-0.58 warm);
+each canary point is the median of 3 back-to-back runs (the r9 attempt-1
+failure was manufactured by two single-sample outliers: 0.584 landing in
+the plateau window and 0.468 in the final window — a 25% spread stepped
+across 5-epoch spans injects more apparent decay than the 10% bar);
+normalization interpolates linearly between canary points instead of
+holding each sample as a step function over the following 5 epochs.
 
 Usage:  python tools/bench_soak_stream.py                 # 50M / 50 epochs
         python tools/bench_soak_stream.py --n-events 5000000 --n-epochs 10 \
@@ -67,6 +83,12 @@ def canary_sec(spark) -> float:
         .save()
     )
     return round(time.time() - t0, 3)
+
+
+def canary_sample(spark) -> float:
+    """Median of 3 back-to-back canary runs — single samples on this box
+    carry ±10% noise, which is the whole decay bar (see module docstring)."""
+    return sorted(canary_sec(spark) for _ in range(3))[1]
 
 
 def dir_bytes(path: str) -> int:
@@ -188,7 +210,8 @@ def main() -> int:
 
     epochs: list[dict] = []
     sessions: list[dict] = []
-    canaries = [{"epoch": 0, "sec": canary_sec(spark)}]
+    canary_sec(spark)  # JIT warmup — discard the cold run (see docstring)
+    canaries = [{"epoch": 0, "sec": canary_sample(spark)}]
     n_sessions = args.n_epochs // args.epochs_per_session
     cdc = None
     t_run0 = time.time()
@@ -264,17 +287,23 @@ def main() -> int:
         for path in chunk_paths:
             shutil.rmtree(path, ignore_errors=True)
         canaries.append(
-            {"epoch": first + args.epochs_per_session, "sec": canary_sec(spark)}
+            {"epoch": first + args.epochs_per_session, "sec": canary_sample(spark)}
         )
     total_sec = time.time() - t_run0
 
-    # normalized rate per epoch: scale by the nearest (preceding) canary
+    # normalized rate per epoch: linear interpolation between the two
+    # bracketing canary samples (a step function smears one sample over
+    # the whole following 5-epoch span — ported from tools/bench_soak.py)
     def canary_at(e: int) -> float:
-        best = canaries[0]["sec"]
+        prev = canaries[0]
         for c in canaries:
             if c["epoch"] <= e:
-                best = c["sec"]
-        return best
+                prev = c
+            else:
+                span = c["epoch"] - prev["epoch"]
+                w = (e - prev["epoch"]) / span if span else 0.0
+                return prev["sec"] + w * (c["sec"] - prev["sec"])
+        return prev["sec"]
 
     for rec in epochs:
         if rec["events_per_sec"]:
@@ -287,13 +316,13 @@ def main() -> int:
         xs = sorted(xs)
         return xs[len(xs) // 2] if xs else None
 
-    plateau = median(
-        [r["events_per_sec_normalized"] for r in epochs[6:16]]
-    )
-    final = median(
-        [r["events_per_sec_normalized"] for r in epochs[-10:]]
-    )
-    decay = None if not plateau else round(1 - final / plateau, 4)
+    def window_decay(key):
+        plat = median([r[key] for r in epochs[6:16]])
+        fin = median([r[key] for r in epochs[-10:]])
+        return plat, fin, (None if not plat else round(1 - fin / plat, 4))
+
+    plateau, final, decay = window_decay("events_per_sec_normalized")
+    plateau_raw, final_raw, decay_raw = window_decay("events_per_sec")
     overall = round(
         sum(r["rows_in"] for r in epochs) / total_trigger_sec, 1
     )
@@ -317,9 +346,11 @@ def main() -> int:
         "what": "sustained soak through run_stream: WAL-JSON source, "
         "foreachBatch, checkpointed epochs across sessions, drift "
         "detection live (producer evolves mid-run), inline rollup on; "
-        "decay = plateau (epochs 6-15) vs final 10, canary-normalized. "
-        "Overhead factor vs the batched soak INCLUDES the JSON decode "
-        "cost the parquet-based batched soak does not pay.",
+        "decay = plateau (epochs 6-15) vs final 10, raw and canary-"
+        "normalized (warm median-of-3 canaries, interpolated; gate as "
+        "tools/bench_soak.py). Overhead factor vs the batched soak "
+        "INCLUDES the JSON decode cost the parquet-based batched soak "
+        "does not pay.",
         "git_rev": rev,
         "measured_at": dt.datetime.now(dt.timezone.utc).isoformat(
             timespec="seconds"
@@ -337,9 +368,59 @@ def main() -> int:
         "overall_events_per_sec": overall,
         "plateau_normalized": plateau,
         "final_normalized": final,
+        "plateau_raw": plateau_raw,
+        "final_raw": final_raw,
         "decay": decay,
+        "decay_raw": decay_raw,
         "decay_pass_bar": 0.10,
-        "decay_pass": None if decay is None else bool(decay <= 0.10),
+        # Same gate as tools/bench_soak.py (r8 ADVICE medium): normalized
+        # decay is the primary bar; the raw view counts ONLY when the
+        # canary itself drifted >10% during the run (normalization is then
+        # what injected the apparent decay), and any disagreement between
+        # the views is recorded for manual adjudication, never silent.
+        "canary_drift": (
+            None
+            if len(canaries) < 2
+            else round(
+                max(c["sec"] for c in canaries)
+                / min(c["sec"] for c in canaries)
+                - 1,
+                4,
+            )
+        ),
+        "views_diverged": (
+            None
+            if decay is None or decay_raw is None
+            else bool((decay <= 0.10) != (decay_raw <= 0.10))
+        ),
+        "decay_pass": (
+            None
+            if decay is None
+            else bool(
+                decay <= 0.10
+                or (
+                    decay_raw is not None
+                    and decay_raw <= 0.10
+                    and len(canaries) >= 2
+                    and max(c["sec"] for c in canaries)
+                    > 1.10 * min(c["sec"] for c in canaries)
+                )
+            )
+        ),
+        # per-trigger latency percentiles (r8 verdict Next #3): maintenance
+        # cadences (compact, bookkeeping fold, rebucket) run synchronously
+        # inside apply_batch, so their stalls live in the trigger tail, not
+        # the mean — report the tail explicitly.
+        "trigger_sec_percentiles": (
+            lambda ts: {
+                "p50": ts[len(ts) // 2],
+                "p95": ts[min(len(ts) - 1, int(0.95 * len(ts)))],
+                "p99": ts[min(len(ts) - 1, int(0.99 * len(ts)))],
+                "max": ts[-1],
+            }
+        )(sorted(r["trigger_sec"] for r in epochs))
+        if epochs
+        else None,
         "drift_evolved_src_tag": drifted,
         "batched_soak_overall_events_per_sec": batched,
         "streaming_overhead_vs_batched": (
@@ -367,9 +448,13 @@ def main() -> int:
                     "plateau_normalized",
                     "final_normalized",
                     "decay",
+                    "decay_raw",
+                    "canary_drift",
+                    "views_diverged",
                     "decay_pass",
                     "drift_evolved_src_tag",
                     "streaming_overhead_vs_batched",
+                    "trigger_sec_percentiles",
                 )
             }
         )
